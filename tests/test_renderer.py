@@ -1,0 +1,170 @@
+"""Renderer parity and gradient tests.
+
+Closes the reference's testing gap (SURVEY.md §4): CPU-golden vs accelerated
+forward parity and analytic-vs-numeric VJP checks, which the reference never
+had in pytest form.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from sdfest_tpu.ops.camera import Camera
+from sdfest_tpu.render.reference import render_depth_np
+from sdfest_tpu.render.xla import render_depth, _depth_surrogate, pixel_directions
+
+from conftest import make_sphere_sdf, make_box_sdf
+
+CAM = Camera(width=64, height=48, fx=32, fy=32, cx=32, cy=24, pixel_center=0.5)
+POSITION = np.array([0.05, -0.02, -0.6], dtype=np.float32)
+QUAT = Rotation.from_euler("XYZ", [10, 40, -20], degrees=True).as_quat().astype(
+    np.float32
+)
+INV_SCALE = np.float32(1.0 / 0.15)
+
+
+@pytest.mark.parametrize("sdf_fn", [make_sphere_sdf, make_box_sdf])
+def test_forward_matches_numpy_golden(sdf_fn):
+    sdf = sdf_fn(64)
+    depth_np = render_depth_np(
+        sdf, POSITION, QUAT, float(INV_SCALE), CAM, threshold=0.005
+    )
+    depth_jax = np.asarray(
+        render_depth(
+            jnp.asarray(sdf),
+            jnp.asarray(POSITION),
+            jnp.asarray(QUAT),
+            jnp.asarray(INV_SCALE),
+            camera=CAM,
+            threshold=0.005,
+        )
+    )
+    assert depth_jax.shape == (48, 64)
+    assert (depth_jax > 0).sum() > 50  # object visible
+    # identical hit masks and tight depth agreement. float32 vs float64
+    # rounding can flip the march-termination step for isolated pixels,
+    # shifting depth by up to ~threshold * t, so assert on distributions.
+    hits_equal = (depth_jax > 0) == (depth_np > 0)
+    assert hits_equal.mean() > 0.995
+    both = (depth_jax > 0) & (depth_np > 0)
+    diffs = np.abs(depth_jax[both] - depth_np[both])
+    assert np.median(diffs) < 2e-4
+    assert diffs.max() < 0.01
+
+
+def test_depth_values_match_analytic_sphere():
+    """Sphere at known distance: depth at center pixel ~ dist - radius."""
+    sdf = make_sphere_sdf(64, radius=0.5)
+    position = jnp.asarray([0.0, 0.0, -1.0])
+    quat = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    inv_scale = jnp.asarray(1.0)  # half-width 1 -> sphere radius 0.5 world
+    depth = render_depth(
+        jnp.asarray(sdf), position, quat, inv_scale, camera=CAM, threshold=1e-4
+    )
+    center = float(depth[24, 32])
+    assert abs(center - 0.5) < 5e-3
+
+
+def test_misses_are_zero_when_behind_camera():
+    sdf = make_sphere_sdf(32)
+    depth = render_depth(
+        jnp.asarray(sdf),
+        jnp.asarray([0.0, 0.0, 2.0]),  # behind camera (+z is backwards)
+        jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+        jnp.asarray(2.0),
+        camera=CAM,
+        threshold=0.005,
+    )
+    assert float(jnp.max(depth)) == 0.0
+
+
+def test_vjp_matches_surrogate_numeric_gradient():
+    """The custom VJP must equal numeric gradients of the local surrogate."""
+    sdf = jnp.asarray(make_sphere_sdf(32))
+    args = (
+        sdf,
+        jnp.asarray(POSITION),
+        jnp.asarray(QUAT),
+        jnp.asarray(INV_SCALE),
+    )
+    depth = render_depth(*args, camera=CAM, threshold=0.005)
+    dirs = pixel_directions(CAM, jnp.float32)
+    g = jnp.where(depth > 0, 1.0, 0.0)  # cotangent
+
+    def loss(p, q, i):
+        return jnp.sum(_depth_surrogate(sdf, p, q, i, depth, dirs) * g)
+
+    grads_auto = jax.grad(loss, argnums=(0, 1, 2))(*args[1:])
+
+    def render_loss(s, p, q, i):
+        return jnp.sum(render_depth(s, p, q, i, camera=CAM, threshold=0.005) * g)
+
+    grads_vjp = jax.grad(render_loss, argnums=(1, 2, 3))(*args)
+    for a, b in zip(grads_auto, grads_vjp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_vjp_position_matches_finite_difference_render():
+    """Analytic position gradient ~ finite differences of the real render.
+
+    This is the renderer-level version of the reference's numeric check
+    (simple_renderer.py:484-520): approximate because sphere tracing
+    re-converges, so compare with a loose relative tolerance on interior
+    pixels via the summed gradient.
+    """
+    sdf = jnp.asarray(make_sphere_sdf(64, radius=0.5), dtype=jnp.float64)
+    position = jnp.asarray([0.0, 0.0, -0.6], dtype=jnp.float64)
+    quat = jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=jnp.float64)
+    inv_scale = jnp.asarray(1.0 / 0.15, dtype=jnp.float64)
+
+    depth0 = render_depth(
+        sdf, position, quat, inv_scale, camera=CAM, threshold=1e-4
+    )
+    interior = np.asarray(depth0 > 0)
+    # erode the hit mask to drop silhouette pixels whose hit status flips
+    from scipy.ndimage import binary_erosion
+
+    interior = binary_erosion(interior, iterations=2)
+    g = jnp.asarray(interior, dtype=jnp.float64)
+
+    def f(p):
+        return jnp.sum(
+            render_depth(sdf, p, quat, inv_scale, camera=CAM, threshold=1e-4) * g
+        )
+
+    grad_analytic = np.asarray(jax.grad(f)(position))
+    eps = 1e-5
+    grad_numeric = np.zeros(3)
+    for axis in range(3):
+        delta = np.zeros(3)
+        delta[axis] = eps
+        grad_numeric[axis] = (
+            float(f(position + delta)) - float(f(position - delta))
+        ) / (2 * eps)
+    # the analytic gradient is a first-order local model (as in the
+    # reference); oblique-incidence pixels deviate by ~|grad_SDF . d| factors,
+    # so only sign and approximate magnitude are asserted
+    np.testing.assert_allclose(grad_analytic, grad_numeric, rtol=0.15, atol=1e-3)
+
+
+def test_render_is_vmappable():
+    sdf = jnp.asarray(make_sphere_sdf(32))
+    batch = 3
+    sdfs = jnp.stack([sdf] * batch)
+    positions = jnp.asarray(
+        [[0.0, 0.0, -0.5], [0.1, 0.0, -0.6], [0.0, 0.1, -0.7]]
+    )
+    quats = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (batch, 1))
+    inv_scales = jnp.asarray([5.0, 6.0, 7.0])
+    render = lambda s, p, q, i: render_depth(
+        s, p, q, i, camera=CAM, threshold=0.005
+    )
+    depths = jax.vmap(render)(sdfs, positions, quats, inv_scales)
+    assert depths.shape == (batch, 48, 64)
+    singles = jnp.stack(
+        [render(sdfs[i], positions[i], quats[i], inv_scales[i]) for i in range(batch)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(depths), np.asarray(singles), atol=1e-6
+    )
