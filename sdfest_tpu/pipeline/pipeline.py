@@ -1,0 +1,609 @@
+"""SDF pose and shape estimation pipeline (init -> jitted refinement).
+
+Capability parity with /root/reference/sdfest/estimation/simple_setup.py,
+re-architected TPU-first: where the reference runs a Python loop launching
+one CUDA render per view per iteration (simple_setup.py:408-570), here the
+entire render-and-compare refinement is a single XLA program — ``lax.scan``
+over optimization steps, a scan over views inside the loss, optax Adam with
+per-variable learning rates, quaternion renormalization and best-inlier-ratio
+tracking inside the loop carry.  The full step log ("flight recorder",
+cf. simple_setup.py:598-607) is produced as scan outputs, so observability
+survives fusion.
+
+Hypothesis-parallelism (a capability upgrade over the single-estimate
+reference) is exposed via :meth:`SDFPipeline.refine_batch` — a ``vmap`` of
+the same program over independent initial states, which also shards cleanly
+over TPU device meshes (see :mod:`sdfest_tpu.parallel`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import pickle
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sdfest_tpu.models.pose_net import create_pose_net
+from sdfest_tpu.models.vae import create_vae_from_config
+from sdfest_tpu.ops import pointset, quaternion
+from sdfest_tpu.ops.camera import Camera
+from sdfest_tpu.ops.so3grid import SO3Grid
+from sdfest_tpu.pipeline import losses
+from sdfest_tpu.utils import weights as weight_utils
+
+
+class NoDepthError(ValueError):
+    """Raised when no valid depth data remains after preprocessing."""
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    """Estimation result and step log."""
+
+    position: jax.Array  # (1, 3) world frame
+    orientation: jax.Array  # (1, 4) scalar-last quaternion
+    scale: jax.Array  # (1,) half-width
+    latent_shape: jax.Array  # (1, L)
+    log: Optional[Dict[str, np.ndarray]] = None
+
+
+def _adjust_categorical_posterior(
+    posterior: jax.Array,
+    prior: Optional[jax.Array],
+    train_prior: Optional[jax.Array],
+) -> jax.Array:
+    """Re-weight a categorical posterior computed under a different prior."""
+    if prior is None:
+        return posterior
+    adjusted = posterior * prior
+    if train_prior is not None:
+        adjusted = adjusted / train_prior
+    return adjusted / jnp.sum(adjusted, axis=-1, keepdims=True)
+
+
+class SDFPipeline:
+    """SDF pose, scale and shape estimation from depth images."""
+
+    def __init__(self, config: dict) -> None:
+        """Load networks and compile-ready functions from a config dict.
+
+        The config schema matches the reference
+        (estimation/configs/default.yaml + models/*.yaml): ``camera``,
+        ``init`` (network architecture + weights), ``vae`` (architecture +
+        weights), ``threshold``, ``max_iterations``, loss weights,
+        ``result_selection_strategy``, ``far_field``, ``init_view``,
+        ``mean_shape``.
+        """
+        self.config = config
+        self.init_config = config["init"]
+        self.vae_config = config.get("vae", self.init_config.get("vae"))
+        self.camera = Camera(**config["camera"])
+        self.result_selection_strategy = config.get(
+            "result_selection_strategy", "last_iteration"
+        )
+        self._relative_inlier_threshold = config.get("relative_inlier_threshold", 0.03)
+        self._far_field = config.get("far_field", None)
+        self._num_input_points = config.get("num_input_points", 2500)
+        self.resolution = self.vae_config.get("sdf_size", 64)
+
+        self.vae = create_vae_from_config(self.vae_config)
+        self.vae_params = weight_utils.load_vae_params(
+            self.vae_config, self.vae, self.resolution
+        )
+
+        self.init_network = create_pose_net(
+            self.init_config, shape_dimension=self.vae_config["latent_size"]
+        )
+        self.init_variables = weight_utils.load_init_variables(
+            self.init_config, self.init_network, self._num_input_points
+        )
+
+        self.orientation_repr = self.init_config["head"]["orientation_repr"]
+        if self.orientation_repr == "discretized":
+            grid = SO3Grid(self.init_config["head"]["orientation_grid_resolution"])
+            self._grid_quats = jnp.asarray(grid.quaternions(), dtype=jnp.float32)
+        else:
+            self._grid_quats = None
+
+        self.log_data = []
+
+    # ------------------------------------------------------------------
+    # jitted building blocks
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, latent: jax.Array) -> jax.Array:
+        return self.vae.apply({"params": self.vae_params}, latent, method=self.vae.decode)
+
+    def render(
+        self,
+        sdf: jax.Array,
+        position: jax.Array,
+        orientation: jax.Array,
+        inv_scale: jax.Array,
+    ) -> jax.Array:
+        """Render a depth image with the pipeline's camera (differentiable)."""
+        from sdfest_tpu.render import render_depth
+
+        return render_depth(
+            sdf,
+            position,
+            orientation,
+            inv_scale,
+            camera=self.camera,
+            threshold=self.config["threshold"],
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _preprocess_depth(
+        self, depth_images: jax.Array, masks: jax.Array
+    ) -> jax.Array:
+        """Mask depth and cut the far field (pure version of the reference)."""
+        depth = jnp.where(masks != 0, depth_images, 0.0)
+        if self._far_field is not None:
+            depth = jnp.where(depth > self._far_field, 0.0, depth)
+        return depth
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _nn_init_single(
+        self,
+        depth_image: jax.Array,
+        camera_position: jax.Array,
+        camera_orientation: jax.Array,
+        key: jax.Array,
+        train: bool = False,
+    ):
+        """Single-view initialization network forward pass (jitted).
+
+        Returns (latent, position_cam, scale, orientation_raw, any_valid).
+        ``orientation_raw`` is the representation-specific output (normalized
+        quaternion or logits).
+        """
+        points, valid = pointset.depth_to_pointcloud_dense(depth_image, self.camera)
+        centroid = jnp.zeros(3, dtype=points.dtype)
+        if self.init_config.get("normalize_pose", True):
+            points, centroid = pointset.normalize_points_masked(points, valid)
+        sampled, any_valid = pointset.subsample_masked(
+            points, valid, self._num_input_points, key
+        )
+        latent, position, scale, orientation = self.init_network.apply(
+            self.init_variables, sampled[None], train=False
+        )
+        if self.config.get("mean_shape", False):
+            latent = jnp.zeros_like(latent)
+        position = position + centroid[None]
+        return latent, position, scale, orientation, any_valid
+
+    def _nn_init(
+        self,
+        depth_images: jax.Array,
+        camera_positions: jax.Array,
+        camera_orientations: jax.Array,
+        key: jax.Array,
+        prior_orientation_distribution: Optional[jax.Array] = None,
+        training_orientation_distribution: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Initialization over views with "first"/"best" selection strategy."""
+        if (
+            prior_orientation_distribution is not None
+            and self.orientation_repr != "discretized"
+        ):
+            raise ValueError(
+                "prior_orientation_distribution only supported for discretized "
+                "orientation representation."
+            )
+        n_views = depth_images.shape[0]
+        init_view = self.config.get("init_view", "first")
+        best_prob = -1.0
+        best_result = None
+        for i in range(n_views):
+            key, subkey = jax.random.split(key)
+            latent, position, scale, orientation, any_valid = self._nn_init_single(
+                depth_images[i],
+                camera_positions[i],
+                camera_orientations[i],
+                subkey,
+            )
+            if not bool(any_valid):
+                raise NoDepthError
+            if self.orientation_repr == "discretized":
+                posterior = jax.nn.softmax(orientation, axis=-1)
+                prior_i = (
+                    prior_orientation_distribution[i]
+                    if prior_orientation_distribution is not None
+                    else None
+                )
+                posterior = _adjust_categorical_posterior(
+                    posterior, prior_i, training_orientation_distribution
+                )
+                orientation_camera = self._grid_quats[jnp.argmax(posterior)][None]
+                maximum = float(jnp.max(posterior))
+            elif self.orientation_repr == "quaternion":
+                orientation_camera = orientation
+                maximum = 1.0
+            else:
+                raise NotImplementedError(
+                    f"Orientation representation {self.orientation_repr} unsupported."
+                )
+            # camera -> world frame
+            position_world = (
+                quaternion.apply(camera_orientations[i], position)
+                + camera_positions[i]
+            )
+            orientation_world = quaternion.multiply(
+                camera_orientations[i], orientation_camera
+            )
+            if init_view == "first":
+                return latent, position_world, scale, orientation_world
+            elif init_view == "best":
+                if self.orientation_repr != "discretized":
+                    raise NotImplementedError(
+                        '"best" init strategy requires discretized orientations'
+                    )
+                if maximum > best_prob:
+                    best_prob = maximum
+                    best_result = (latent, position_world, scale, orientation_world)
+            else:
+                raise NotImplementedError(
+                    'Only "first" and "best" init strategies are supported'
+                )
+        return best_result
+
+    def _make_optimizer(self) -> optax.GradientTransformation:
+        lrs = {
+            "position": self.config.get("position_lr", 1e-3),
+            "orientation": self.config.get("orientation_lr", 1e-2),
+            "scale": self.config.get("scale_lr", 1e-3),
+            "latent": self.config.get("latent_lr", 1e-2),
+        }
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.multi_transform(
+                {k: optax.scale(-v) for k, v in lrs.items()},
+                param_labels={k: k for k in lrs},
+            ),
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 7))
+    def _refine(
+        self,
+        state: Dict[str, jax.Array],
+        depth_images: jax.Array,  # (V, H, W)
+        points: jax.Array,  # (V, H*W, 3)
+        point_masks: jax.Array,  # (V, H*W)
+        camera_positions: jax.Array,  # (V, 3)
+        camera_orientations: jax.Array,  # (V, 4)
+        shape_optimization: bool = True,
+        point_constraint: Optional[Tuple[jax.Array, jax.Array, float]] = None,
+    ):
+        """Jitted iterative refinement: one XLA program for the full loop."""
+        # standardize on float32 (the TPU-native compute dtype)
+        to_f32 = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), t
+        )
+        state, depth_images, points, camera_positions, camera_orientations = map(
+            to_f32,
+            (state, depth_images, points, camera_positions, camera_orientations),
+        )
+        optimizer = self._make_optimizer()
+        opt_state = optimizer.init(state)
+        depth_weight = self.config.get("depth_weight", 1.0)
+        pc_weight = self.config.get("pc_weight", 1.0)
+        max_iterations = self.config["max_iterations"]
+
+        def view_losses(latent_sdf, position, orientation, scale, view):
+            depth_input, pts, pts_mask, cam_pos, cam_quat = view
+            q_w2c = quaternion.invert(cam_quat)
+            position_c = quaternion.apply(q_w2c, position - cam_pos)
+            orientation_c = quaternion.multiply(q_w2c, orientation)
+            depth_estimate = self.render(
+                latent_sdf, position_c, orientation_c, 1.0 / scale
+            )
+            loss_depth = losses.depth_l1_loss(depth_input, depth_estimate)
+            loss_pc = losses.masked_pc_loss(
+                pts, pts_mask, position_c, orientation_c, scale, latent_sdf
+            )
+            return loss_depth, loss_pc, depth_estimate
+
+        def loss_fn(state):
+            norm_orientation = state["orientation"] / jnp.sqrt(
+                jnp.sum(state["orientation"] ** 2)
+            )
+            latent = state["latent"]
+            if not shape_optimization:
+                latent = jax.lax.stop_gradient(latent)
+            sdf = self._decode_inline(latent)[0, 0]
+
+            def scan_view(carry, view):
+                loss_depth, loss_pc = carry
+                ld, lp, depth_estimate = view_losses(
+                    sdf,
+                    state["position"][0],
+                    norm_orientation[0],
+                    state["scale"][0],
+                    view,
+                )
+                return (loss_depth + ld, loss_pc + lp), depth_estimate
+
+            (loss_depth, loss_pc), depth_estimates = jax.lax.scan(
+                scan_view,
+                (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+                (
+                    depth_images,
+                    points,
+                    point_masks,
+                    camera_positions,
+                    camera_orientations,
+                ),
+            )
+            loss = depth_weight * loss_depth + pc_weight * loss_pc
+            if point_constraint is not None:
+                source, target, weight = point_constraint
+                loss = loss + weight * losses.point_constraint_loss(
+                    state["orientation"][0], source, target
+                )
+            aux = {
+                "loss_depth": loss_depth,
+                "loss_pc": loss_pc,
+                "last_depth_estimate": depth_estimates[-1],
+            }
+            return loss, aux
+
+        def step(carry, _):
+            state, opt_state, best = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            state = optax.apply_updates(state, updates)
+            # renormalize the quaternion outside the gradient path
+            state = dict(
+                state,
+                orientation=state["orientation"]
+                / jnp.sqrt(jnp.sum(state["orientation"] ** 2)),
+            )
+            # best-estimate tracking: inlier ratio of the pre-step render vs
+            # post-step parameters (matches the reference's update ordering,
+            # simple_setup.py:461-470)
+            ratio = losses.inlier_ratio(
+                depth_images[-1],
+                aux["last_depth_estimate"],
+                self._relative_inlier_threshold,
+            ).astype(jnp.float32)
+            is_better = ratio > best["inlier_ratio"]
+            best = {
+                "inlier_ratio": jnp.where(is_better, ratio, best["inlier_ratio"]),
+                **{
+                    k: jnp.where(is_better, state[k], best[k])
+                    for k in ("position", "orientation", "scale", "latent")
+                },
+            }
+            log = {
+                "loss": loss,
+                "loss_depth": aux["loss_depth"],
+                "loss_pc": aux["loss_pc"],
+                "inlier_ratio": ratio,
+                "position": state["position"],
+                "orientation": state["orientation"],
+                "scale": state["scale"],
+                "latent": state["latent"],
+            }
+            return (state, opt_state, best), log
+
+        best0 = {
+            "inlier_ratio": jnp.asarray(-1.0, dtype=jnp.float32),
+            **{k: state[k] for k in ("position", "orientation", "scale", "latent")},
+        }
+        (state, _, best), log = jax.lax.scan(
+            step, (state, opt_state, best0), None, length=max_iterations
+        )
+        return state, best, log
+
+    def _decode_inline(self, latent: jax.Array) -> jax.Array:
+        """Decode without the jit wrapper (for use inside traced code)."""
+        return self.vae.apply(
+            {"params": self.vae_params}, latent, method=self.vae.decode
+        )
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        depth_images: jax.Array,
+        masks: jax.Array,
+        color_images: Optional[jax.Array] = None,
+        visualize: bool = False,
+        camera_positions: Optional[jax.Array] = None,
+        camera_orientations: Optional[jax.Array] = None,
+        log_path: Optional[str] = None,
+        shape_optimization: bool = True,
+        point_constraint: Optional[Tuple] = None,
+        prior_orientation_distribution: Optional[jax.Array] = None,
+        training_orientation_distribution: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Infer pose, scale and latent shape from depth images and masks.
+
+        Args:
+            depth_images: Depth along the camera z-axis, shape (V, H, W) or
+                (H, W); masked and far-field-cut internally.
+            masks: Binary object masks, same shape.
+            color_images: Unused (kept for API parity; visualization only).
+            camera_positions: (V, 3) world positions of the cameras (0 if None).
+            camera_orientations: (V, 4) world orientations (identity if None).
+            log_path: Write a pickled step log ("flight recorder") here.
+            shape_optimization: Optimize the latent shape during refinement.
+            point_constraint: Optional (source, target, weight) orientation
+                constraint.
+            prior_orientation_distribution: Optional (V, C) prior over SO(3)
+                grid cells (discretized heads only).
+            training_orientation_distribution: (C,) training prior.
+            key: PRNG key for point subsampling (deterministic default).
+        Returns:
+            Tuple (position (1,3), orientation (1,4), scale (1,),
+            latent_shape (1, L)) in the world frame.
+        """
+        start_time = time.time()
+        if depth_images.ndim == 2:
+            depth_images = depth_images[None]
+            masks = masks[None]
+            if camera_positions is not None:
+                camera_positions = camera_positions[None]
+            if camera_orientations is not None:
+                camera_orientations = camera_orientations[None]
+            if prior_orientation_distribution is not None:
+                prior_orientation_distribution = prior_orientation_distribution[None]
+        n_views = depth_images.shape[0]
+        if camera_positions is None:
+            camera_positions = jnp.zeros((n_views, 3))
+        if camera_orientations is None:
+            camera_orientations = jnp.tile(
+                jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n_views, 1)
+            )
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        depth_images = self._preprocess_depth(
+            jnp.asarray(depth_images, dtype=jnp.float32), jnp.asarray(masks)
+        )
+        if not bool(jnp.any(depth_images > 0)):
+            raise NoDepthError
+
+        latent, position, scale, orientation = self._nn_init(
+            depth_images,
+            camera_positions,
+            camera_orientations,
+            key,
+            prior_orientation_distribution,
+            training_orientation_distribution,
+        )
+
+        # lift all views to dense point clouds once (pc loss inputs)
+        points, point_masks = jax.vmap(
+            lambda d: pointset.depth_to_pointcloud_dense(d, self.camera)
+        )(depth_images)
+
+        state = {
+            "position": position,
+            "orientation": orientation,
+            "scale": scale,
+            "latent": latent,
+        }
+        state, best, log = self._refine(
+            state,
+            depth_images,
+            points,
+            point_masks,
+            camera_positions,
+            camera_orientations,
+            shape_optimization,
+            point_constraint,
+        )
+
+        if log_path is not None:
+            log_np = {k: np.asarray(v) for k, v in log.items()}
+            log_np["timestamp"] = time.time() - start_time
+            with open(log_path, "wb") as f:
+                pickle.dump({"config": _plain_config(self.config), "log": log_np}, f)
+
+        if self.result_selection_strategy == "last_iteration":
+            chosen = state
+        elif self.result_selection_strategy == "best_inlier_ratio":
+            chosen = best
+        else:
+            raise ValueError(
+                f"Result selection strategy {self.result_selection_strategy} "
+                "is not supported."
+            )
+        return (
+            chosen["position"],
+            chosen["orientation"],
+            chosen["scale"],
+            chosen["latent"],
+        )
+
+    def refine_batch(
+        self,
+        states: Dict[str, jax.Array],
+        depth_images: jax.Array,
+        points: jax.Array,
+        point_masks: jax.Array,
+        camera_positions: jax.Array,
+        camera_orientations: jax.Array,
+        shape_optimization: bool = True,
+    ):
+        """Refine a batch of hypotheses in parallel (vmap of the scan program).
+
+        ``states`` leaves carry a leading hypothesis axis; view inputs are
+        shared.  Hypotheses are independent, so this maps perfectly onto
+        data-parallel TPU meshes with zero cross-device communication.
+        """
+        refine = functools.partial(
+            self._refine,
+            depth_images=depth_images,
+            points=points,
+            point_masks=point_masks,
+            camera_positions=camera_positions,
+            camera_orientations=camera_orientations,
+            shape_optimization=shape_optimization,
+        )
+        return jax.vmap(lambda s: refine(s))(states)
+
+    def generate_depth(
+        self,
+        position: jax.Array,
+        orientation: jax.Array,
+        scale: jax.Array,
+        latent: jax.Array,
+    ) -> jax.Array:
+        """Render a depth image of the given estimate."""
+        sdf = self._decode(latent)
+        return self.render(sdf[0, 0], position, orientation, 1.0 / scale)
+
+    def generate_mesh(
+        self, latent: jax.Array, scale: jax.Array, complete_mesh: bool = False
+    ):
+        """Extract a scaled mesh from the decoded latent (host-side).
+
+        Returns a :class:`sdfest_tpu.pipeline.synthetic.Mesh`.
+        """
+        from sdfest_tpu.ops import marching_cubes as mc
+        from sdfest_tpu.pipeline.synthetic import Mesh
+
+        sdf = np.asarray(self._decode(latent))[0, 0]
+        inc = 0
+        if complete_mesh:
+            inc = 2
+            sdf = np.pad(sdf, 1, constant_values=1.0)
+        s = 2.0 / (self.resolution - 1)
+        vertices, faces = mc.marching_cubes(
+            sdf, level=self.config["iso_threshold"], spacing=(s, s, s)
+        )
+        if vertices is None or len(vertices) == 0:
+            return None
+        c = s * (self.resolution + inc - 1) / 2.0
+        vertices = vertices - np.array([[c, c, c]])
+        return Mesh(
+            vertices=vertices,
+            faces=faces,
+            scale=float(np.asarray(scale).reshape(-1)[0]),
+            rel_scale=True,
+        )
+
+
+def _plain_config(config: dict) -> dict:
+    """Deep-copy a config with arrays converted for pickling."""
+    out = {}
+    for k, v in config.items():
+        if isinstance(v, dict):
+            out[k] = _plain_config(v)
+        elif isinstance(v, (jnp.ndarray, np.ndarray)):
+            out[k] = np.asarray(v)
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,111 @@
+"""Model weight resolution and loading.
+
+Mirrors the reference convention (/root/reference/sdfest/utils.py:10-43):
+configs carry a ``model`` path (searched in ``.``, ``~/.sdfest_tpu/
+model_weights/`` and the package dir) and optionally a ``model_url``.
+Supported formats:
+
+- ``*.pt``   — reference PyTorch checkpoints, converted on load
+  (:mod:`sdfest_tpu.utils.convert_torch`).
+- ``*.msgpack`` — native flax-serialized parameter pytrees
+  (:func:`save_params` / :func:`load_params`).
+- missing   — randomly initialized parameters (training / testing).
+
+Downloads are not performed automatically (deployments are frequently
+air-gapped); if only a URL is available the raised error explains how to
+fetch and convert.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from sdfest_tpu.utils.config import resolve_path
+
+
+def save_params(path: str, variables: Any) -> None:
+    """Serialize a parameter pytree to msgpack."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+
+def load_params(path: str, template: Any) -> Any:
+    """Deserialize a parameter pytree; ``template`` supplies the structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def _search_paths():
+    return [
+        ".",
+        os.path.expanduser("~/.sdfest_tpu/model_weights/"),
+        os.path.expanduser("~/.sdfest/model_weights/"),  # reference weights dir
+    ]
+
+
+def _resolve_model_path(config: Dict[str, Any]) -> Optional[str]:
+    model = config.get("model")
+    if model is None:
+        return None
+    resolved = resolve_path(model, _search_paths())
+    if os.path.exists(resolved):
+        return resolved
+    url = config.get("model_url")
+    hint = f" Download it from {url} and place it at {model}." if url else ""
+    raise FileNotFoundError(
+        f"Model weights {model} not found in search paths.{hint} "
+        "PyTorch .pt checkpoints from the reference are converted "
+        "automatically on load."
+    )
+
+
+def load_vae_params(vae_config: Dict[str, Any], vae, resolution: int):
+    """Load (or initialize) VAE parameters for an SDFVAE module."""
+    path = _resolve_model_path(vae_config)
+    if path is None or not os.path.exists(path):
+        variables = vae.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, resolution, resolution, resolution)),
+            jax.random.PRNGKey(1),
+        )
+        return variables["params"]
+    if path.endswith(".pt"):
+        from sdfest_tpu.utils.convert_torch import convert_vae_checkpoint
+
+        return jax.tree_util.tree_map(
+            jnp.asarray, convert_vae_checkpoint(path, vae_config)
+        )
+    template = vae.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, resolution, resolution, resolution)),
+        jax.random.PRNGKey(1),
+    )["params"]
+    return load_params(path, template)
+
+
+def load_init_variables(init_config: Dict[str, Any], net, num_points: int):
+    """Load (or initialize) init-network variables (params + batch stats)."""
+    template = net.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, num_points, init_config["backbone"].get("in_size", 3))),
+    )
+    path = _resolve_model_path(init_config)
+    if path is None or not os.path.exists(path):
+        return template
+    if path.endswith(".pt"):
+        from sdfest_tpu.utils.convert_torch import convert_init_checkpoint
+
+        converted = convert_init_checkpoint(path, init_config)
+        return {
+            "params": jax.tree_util.tree_map(jnp.asarray, converted["params"]),
+            "batch_stats": jax.tree_util.tree_map(
+                jnp.asarray, converted["batch_stats"]
+            ),
+        }
+    return load_params(path, template)
