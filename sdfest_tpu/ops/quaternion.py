@@ -93,14 +93,15 @@ def simple_quaternion_loss(q1: jax.Array, q2: jax.Array) -> jax.Array:
     return jnp.mean(1.0 - jnp.sum(q1 * q2, axis=-1) ** 2)
 
 
-def random_uniform(key: jax.Array, shape: tuple = ()) -> jax.Array:
+def random_uniform(key: jax.Array, shape: tuple = (), dtype=jnp.float32) -> jax.Array:
     """Sample uniformly distributed unit quaternions (Shoemake 1992).
 
     Args:
         key: PRNG key.
         shape: Batch shape; the returned array has shape ``shape + (4,)``.
+        dtype: Output dtype (float32 by default, the TPU compute dtype).
     """
-    u = jax.random.uniform(key, shape + (3,))
+    u = jax.random.uniform(key, shape + (3,), dtype=dtype)
     u1, u2, u3 = u[..., 0], u[..., 1], u[..., 2]
     two_pi = 2.0 * jnp.pi
     return jnp.stack(
