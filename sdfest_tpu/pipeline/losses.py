@@ -38,6 +38,8 @@ def pc_loss(
     orientation: jax.Array,
     scale: jax.Array,
     sdf: jax.Array,
+    point_mask: Optional[jax.Array] = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Trilinearly interpolated SDF value at observed point positions.
 
@@ -54,10 +56,28 @@ def pc_loss(
     Returns:
         Interpolated metric distances, shape ``(M,)``, 0 outside the volume.
     """
+    from sdfest_tpu.render import api as render_api
+
     q = orientation / jnp.linalg.norm(orientation)  # normalization gradients
     obj_points = quaternion.apply(quaternion.invert(q), points - position)
     obj_points = obj_points / scale
-    values, _ = sample_sdf_masked(sdf, obj_points)
+    backend = render_api.resolve_backend(backend)
+    if backend == "pallas" and sdf.shape[-1] == 64:
+        # inside-volume mask computed densely (no gathers), sampling +
+        # gradients via the Pallas MXU kernels
+        from sdfest_tpu.ops.interpolation import _base_and_frac
+
+        _, _, inside = _base_and_frac(obj_points, sdf.shape[-1])
+        mask = inside
+        if point_mask is not None:
+            mask = jnp.logical_and(mask, point_mask != 0)
+        values = render_api.sample_sdf_masked_extrapolating(
+            sdf, obj_points, mask, backend="pallas"
+        )
+    else:
+        values, _ = sample_sdf_masked(sdf, obj_points)
+        if point_mask is not None:
+            values = values * (point_mask != 0).astype(values.dtype)
     return values * scale
 
 
@@ -78,7 +98,7 @@ def masked_pc_loss(
     Returns:
         Scalar mean |SDF| over valid points.
     """
-    values = pc_loss(points, position, orientation, scale, sdf)
+    values = pc_loss(points, position, orientation, scale, sdf, point_mask)
     w = point_mask.astype(values.dtype)
     return jnp.sum(jnp.abs(values) * w) / jnp.maximum(jnp.sum(w), 1.0)
 

@@ -1,0 +1,145 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled on TPU).
+
+The XLA gather-based implementations are the oracle; the Pallas MXU
+factorization must agree everywhere including the clamped extrapolation
+region.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from sdfest_tpu.ops.camera import Camera
+from sdfest_tpu.ops.interpolation import sample_sdf
+from sdfest_tpu.render import api
+from sdfest_tpu.render.pallas_kernel import (
+    render_depth_pallas_fwd,
+    sample_sdf_grad_pallas,
+    sample_sdf_pallas,
+    scatter_sdf_grad_pallas,
+)
+from sdfest_tpu.render.xla import render_depth as render_depth_xla
+
+from conftest import make_sphere_sdf
+
+SDF = jnp.asarray(make_sphere_sdf(64, radius=0.5))
+CAM = Camera(width=64, height=48, fx=32, fy=32, cx=32, cy=24, pixel_center=0.5)
+POSITION = jnp.asarray([0.03, -0.01, -0.55], dtype=jnp.float32)
+QUAT = jnp.asarray(
+    Rotation.from_euler("XYZ", [15, 30, -10], degrees=True).as_quat(),
+    dtype=jnp.float32,
+)
+INV_SCALE = jnp.asarray(1.0 / 0.18, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("span", [0.95, 1.25])
+def test_sample_parity(span):
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(0), (1000, 3), minval=-span, maxval=span,
+        dtype=jnp.float32,
+    )
+    got = sample_sdf_pallas(SDF, pts)
+    want = sample_sdf(SDF, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sample_grad_parity():
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (300, 3), minval=-1.1, maxval=1.1,
+        dtype=jnp.float32,
+    )
+    value, grad = sample_sdf_grad_pallas(SDF, pts)
+    want_value = sample_sdf(SDF, pts)
+    np.testing.assert_allclose(np.asarray(value), np.asarray(want_value), atol=1e-4)
+    grad_fn = jax.vmap(jax.grad(lambda p: sample_sdf(SDF, p[None])[0]))
+    want_grad = grad_fn(pts)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(want_grad), atol=1e-3)
+
+
+def test_sample_mask_zeroes_rows():
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (300, 3), dtype=jnp.float32)
+    mask = (jnp.arange(300) % 3 == 0).astype(jnp.float32)
+    value, grad = sample_sdf_grad_pallas(SDF, pts, mask)
+    assert bool(jnp.all(value[mask == 0] == 0))
+    assert bool(jnp.all(grad[mask == 0] == 0))
+
+
+def test_scatter_parity():
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(3), (1000, 3), minval=-1.1, maxval=1.1,
+        dtype=jnp.float32,
+    )
+    cot = jax.random.normal(jax.random.PRNGKey(4), (1000,), dtype=jnp.float32)
+    got = scatter_sdf_grad_pallas(pts, cot)
+    _, vjp = jax.vjp(lambda s: sample_sdf(s, pts), SDF)
+    (want,) = vjp(cot)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_march_parity_with_xla():
+    depth_pl = render_depth_pallas_fwd(
+        SDF, POSITION, QUAT, INV_SCALE, CAM, threshold=0.005
+    )
+    depth_xla = render_depth_xla(
+        SDF, POSITION, QUAT, INV_SCALE, camera=CAM, threshold=0.005
+    )
+    pl_np, xla_np = np.asarray(depth_pl), np.asarray(depth_xla)
+    assert (pl_np > 0).sum() > 50
+    agree = ((pl_np > 0) == (xla_np > 0)).mean()
+    assert agree > 0.995
+    both = (pl_np > 0) & (xla_np > 0)
+    assert np.abs(pl_np[both] - xla_np[both]).max() < 5e-3
+
+
+def test_api_render_pallas_gradients_match_xla():
+    """Custom VJP of the pallas path == the XLA path's analytic gradients."""
+    target = render_depth_xla(
+        SDF, POSITION, QUAT, INV_SCALE, camera=CAM, threshold=0.005
+    )
+
+    def loss(render_fn, p, q, i, s):
+        est = render_fn(s, p, q, i)
+        m = ((est > 0) & (target > 0)).astype(est.dtype)
+        return jnp.sum(jnp.abs(est - target) * m)
+
+    render_xla = lambda s, p, q, i: render_depth_xla(
+        s, p, q, i, camera=CAM, threshold=0.005
+    )
+    render_pl = lambda s, p, q, i: api.render_depth(
+        s, p, q, i, camera=CAM, threshold=0.005, backend="pallas"
+    )
+    args = (POSITION + 0.01, QUAT, INV_SCALE, SDF)
+    g_xla = jax.grad(lambda p, q, i, s: loss(render_xla, p, q, i, s),
+                     argnums=(0, 1, 2, 3))(*args)
+    g_pl = jax.grad(lambda p, q, i, s: loss(render_pl, p, q, i, s),
+                    argnums=(0, 1, 2, 3))(*args)
+    labels = ["position", "quaternion", "inv_scale", "sdf"]
+    for label, a, b in zip(labels, g_xla, g_pl):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                   err_msg=f"gradient mismatch for {label}")
+
+
+def test_pc_loss_pallas_backend_matches_xla():
+    from sdfest_tpu.pipeline.losses import pc_loss
+
+    points = jax.random.uniform(
+        jax.random.PRNGKey(5), (500, 3), minval=-0.3, maxval=0.3,
+        dtype=jnp.float32,
+    ) + jnp.asarray([0.0, 0.0, -0.5])
+    scale = jnp.asarray(0.2, dtype=jnp.float32)
+    v_xla = pc_loss(points, POSITION, QUAT, scale, SDF, backend="xla")
+    v_pl = pc_loss(points, POSITION, QUAT, scale, SDF, backend="pallas")
+    np.testing.assert_allclose(np.asarray(v_pl), np.asarray(v_xla), atol=1e-4)
+
+    def total(fn_backend, p):
+        return jnp.sum(
+            jnp.abs(pc_loss(points, p, QUAT, scale, SDF, backend=fn_backend))
+        )
+
+    g_xla = jax.grad(lambda p: total("xla", p))(POSITION)
+    g_pl = jax.grad(lambda p: total("pallas", p))(POSITION)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla), rtol=1e-3,
+                               atol=1e-4)
