@@ -1,0 +1,228 @@
+"""Train the initialization network:
+``python -m sdfest_tpu.scripts.train_init --config ...``.
+
+Capability parity with /root/reference/sdfest/initialization/scripts/
+train.py (Trainer): builds the frozen VAE and the pose/shape network from
+config-selected backbone/head types, mixes on-device synthetic data with
+real (NOCS/Redwood) data loaders by probability, computes MSE +
+quaternion/cross-entropy losses, logs geodesic-distance metrics, validates
+on held-out loaders, checkpoints periodically, and saves final weights +
+config together.
+
+TPU-first differences: the synthetic generator is a jitted on-device
+``sample_batch`` (no worker-process restriction, cf. reference
+train.py:298), real-data batches are collated to a static point count so
+the jitted step compiles once, and data-parallel execution over local
+devices is automatic.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdfest_tpu.datasets.dataset_utils import (
+    MultiDataLoader,
+    ShuffledLoader,
+    make_fixed_size_collate,
+)
+from sdfest_tpu.models.vae import create_vae_from_config
+from sdfest_tpu.training.init_trainer import InitTrainer
+from sdfest_tpu.utils import checkpoint as ckpt
+from sdfest_tpu.utils import weights as weight_utils
+from sdfest_tpu.utils.config import load_config_from_args
+
+DATASET_TYPES = ("SDFVAEViewDataset", "NOCSDataset", "AnnotatedRedwoodDataset")
+
+
+class Trainer:
+    """Initialization-network training driver."""
+
+    def __init__(self, config: dict):
+        self._config = config
+        self._init_config = config.get("init", config)
+        self._vae_config = config.get("vae", self._init_config.get("vae"))
+        self._batch_size = self._init_config.get("batch_size", 32)
+        self._iterations = self._init_config.get("iterations", 1000)
+        self._num_points = self._init_config.get("num_points", 2500)
+        self._run_name = config.get(
+            "run_name",
+            f"sdfest_init_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S-%f')}",
+        )
+        self._model_dir = config.get(
+            "model_dir", os.path.join(os.getcwd(), "models", self._run_name)
+        )
+
+        self._vae = create_vae_from_config(self._vae_config)
+        self._vae_params = weight_utils.load_vae_params(
+            self._vae_config, self._vae, self._vae_config.get("sdf_size", 64)
+        )
+        self.trainer = InitTrainer(
+            self._init_config, latent_size=self._vae_config["latent_size"]
+        )
+        self._key = jax.random.PRNGKey(config.get("seed", 0))
+        self.state = self.trainer.init_state(self._key, num_points=self._num_points)
+        self._generated_datasets: Dict[str, object] = {}
+
+    # -- data --------------------------------------------------------------
+
+    def _create_dataset(self, name: str, spec: dict):
+        dtype = spec["type"]
+        cfg = dict(spec.get("config_dict", {}))
+        if dtype == "SDFVAEViewDataset":
+            from sdfest_tpu.datasets.generated import SDFVAEViewDataset
+
+            cfg.setdefault("num_points", self._num_points)
+            dataset = SDFVAEViewDataset(cfg, self._vae, self._vae_params)
+            self._generated_datasets[name] = dataset
+            return _GeneratedLoader(dataset, self._batch_size, seed=hash(name) % 2**31)
+        if dtype == "NOCSDataset":
+            from sdfest_tpu.datasets.nocs_dataset import NOCSDataset
+
+            dataset = NOCSDataset(cfg)
+        elif dtype == "AnnotatedRedwoodDataset":
+            from sdfest_tpu.datasets.redwood_dataset import AnnotatedRedwoodDataset
+
+            dataset = AnnotatedRedwoodDataset(cfg)
+        else:
+            raise ValueError(f"Unsupported dataset type {dtype}")
+        return ShuffledLoader(
+            dataset,
+            self._batch_size,
+            collate=make_fixed_size_collate(self._num_points),
+        )
+
+    def _create_multi_data_loader(self) -> MultiDataLoader:
+        loaders, probabilities = [], []
+        for name, spec in self._init_config["datasets"].items():
+            loaders.append(self._create_dataset(name, spec))
+            probabilities.append(spec.get("probability", 1.0))
+        return MultiDataLoader(loaders, probabilities)
+
+    def _create_validation_loaders(self) -> Dict[str, object]:
+        validation = {}
+        for name, spec in self._init_config.get("validation_datasets", {}).items():
+            validation[name] = self._create_dataset(name, spec)
+        return validation
+
+    # -- run ---------------------------------------------------------------
+
+    def run(self) -> dict:
+        data_loader = self._create_multi_data_loader()
+        validation_loaders = self._create_validation_loaders()
+        writer = _make_writer(self._config, self._run_name)
+        validation_iteration = self._init_config.get("validation_iteration", 0)
+        checkpoint_iteration = self._init_config.get("checkpoint_iteration", 0)
+
+        if self._init_config.get("init_weights"):
+            self.state, meta = ckpt.load_checkpoint(
+                self._init_config["init_weights"], self.state
+            )
+            print(f"Loaded init weights from {self._init_config['init_weights']}")
+
+        start = time.time()
+        for iteration in range(1, self._iterations + 1):
+            batch = next(data_loader)
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batch.items()
+                if k in ("pointset", "latent_shape", "position", "scale",
+                         "orientation")
+            }
+            self.state, metrics = self.trainer.train_step(self.state, batch)
+
+            if writer is not None and iteration % 20 == 0:
+                for name, value in metrics.items():
+                    writer.add_scalar(name, float(value), iteration)
+            if iteration % 100 == 0 or iteration == self._iterations:
+                print(
+                    f"Iteration {iteration}/{self._iterations} "
+                    f"loss {float(metrics['loss']):.4f}"
+                )
+            if validation_iteration and iteration % validation_iteration == 0:
+                self._validate(validation_loaders, writer, iteration)
+            if checkpoint_iteration and iteration % checkpoint_iteration == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(self._model_dir, f"{iteration}.ckpt"),
+                    self.state,
+                    iteration,
+                    self._run_name,
+                )
+
+        print(f"Training took {time.time() - start:.1f}s")
+        model_path, config_path = ckpt.save_model_and_config(
+            self._model_dir,
+            self._run_name,
+            {
+                "params": self.state["params"],
+                "batch_stats": self.state["batch_stats"],
+            },
+            self._init_config,
+        )
+        print(f"Saved model to {model_path} (config: {config_path})")
+        if writer is not None:
+            writer.close()
+        return {"model": model_path, "config": config_path, "state": self.state}
+
+    def _validate(self, validation_loaders, writer, iteration) -> None:
+        for name, loader in validation_loaders.items():
+            batch = next(iter(loader))
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batch.items()
+                if k in ("pointset", "latent_shape", "position", "scale",
+                         "orientation", "quaternion")
+            }
+            if "latent_shape" not in batch:
+                batch["latent_shape"] = jnp.zeros(
+                    (batch["pointset"].shape[0], self._vae_config["latent_size"])
+                )
+            metrics = self.trainer.compute_metrics(self.state, batch)
+            print(f"Validation [{name}] @ {iteration}: {metrics}")
+            if writer is not None:
+                for metric_name, value in metrics.items():
+                    writer.add_scalar(f"val/{name}/{metric_name}", value, iteration)
+
+
+class _GeneratedLoader:
+    """Adapter: jitted sample generator -> batch iterator interface."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0):
+        self._dataset = dataset
+        self._batch_size = batch_size
+        self._key = jax.random.PRNGKey(seed)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._key, subkey = jax.random.split(self._key)
+        return self._dataset.sample_batch(subkey, self._batch_size)
+
+
+def _make_writer(config: dict, run_name: str):
+    if config.get("log_dir") is None:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(os.path.join(config["log_dir"], run_name))
+    except ImportError:
+        return None
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Train init network.")
+    parser.add_argument("--config", nargs="+", required=False)
+    config = load_config_from_args(parser)
+    Trainer(config).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Train the shape VAE: ``python -m sdfest_tpu.scripts.train_vae --config ...``.
+
+Capability parity with /root/reference/sdfest/vae/scripts/train.py: layered
+YAML config + CLI overrides, the four-way L1/L2 near/far losses, KLD warm-up
+and render-based pc consistency loss (all inside the jitted step of
+:class:`sdfest_tpu.training.VAETrainer`), tensorboard scalar logging,
+periodic reconstruction visualizations, checkpoint/resume, and a final
+model + config pair saved together.  Data parallelism over all local
+devices is automatic when more than one device is visible.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdfest_tpu.datasets.sdf_dataset import SDFDataset
+from sdfest_tpu.training.vae_trainer import VAETrainer
+from sdfest_tpu.utils import checkpoint as ckpt
+from sdfest_tpu.utils.config import load_config_from_args, save_config_to_file
+
+
+def train(config: dict) -> dict:
+    """Run VAE training; returns dict with model/config paths."""
+    iterations = config["iterations"]
+    batch_size = config["batch_size"]
+    run_name = config.get(
+        "run_name", f"sdfvae_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S-%f')}"
+    )
+
+    dataset = SDFDataset(config["dataset_path"])
+    batches = dataset.batches(batch_size, shuffle=True)
+
+    trainer = VAETrainer(config)
+    key = jax.random.PRNGKey(config.get("seed", 0))
+    state = trainer.init_state(key)
+
+    current_iteration = 0
+    if config.get("checkpoint"):
+        state, meta = ckpt.load_checkpoint(config["checkpoint"], state)
+        current_iteration = meta["iteration"]
+        run_name = meta.get("run_name", run_name)
+        print(f"Resumed from {config['checkpoint']} at iteration {current_iteration}")
+
+    n_devices = jax.local_device_count()
+    if n_devices > 1 and batch_size % n_devices == 0:
+        from sdfest_tpu.parallel import data_parallel_step, make_mesh
+
+        mesh = make_mesh()
+        step_fn = data_parallel_step(
+            trainer.step, mesh, batch_argnums=(1,), donate_argnums=(0,)
+        )
+        print(f"Data-parallel training over {n_devices} devices.")
+    else:
+        step_fn = trainer.train_step
+
+    writer = _make_writer(config, run_name)
+    model_dir = config.get("model_dir", os.path.join(os.getcwd(), "models", run_name))
+    checkpoint_iteration = config.get("checkpoint_iteration", 10000)
+    visualization_iteration = config.get("visualization_iteration", 1000)
+    start = time.time()
+
+    while current_iteration < iterations:
+        batch = jnp.asarray(next(batches))
+        key, subkey = jax.random.split(key)
+        state, metrics = step_fn(state, batch, subkey)
+        current_iteration += 1
+
+        if writer is not None and current_iteration % 20 == 0:
+            for name, value in metrics.items():
+                writer.add_scalar(name, float(value), current_iteration)
+        if current_iteration % 100 == 0 or current_iteration == iterations:
+            print(
+                f"Iteration {current_iteration}/{iterations} "
+                f"loss {float(metrics['loss']):.4f}"
+            )
+        if visualization_iteration and current_iteration % visualization_iteration == 0:
+            _log_visualizations(writer, trainer, state, batch, key, current_iteration)
+        if checkpoint_iteration and current_iteration % checkpoint_iteration == 0:
+            ckpt.save_checkpoint(
+                os.path.join(model_dir, f"{current_iteration}.ckpt"),
+                state,
+                current_iteration,
+                run_name,
+            )
+
+    print(f"Training took {time.time() - start:.1f}s")
+    model_path, config_path = ckpt.save_model_and_config(
+        model_dir, run_name, state["params"], config
+    )
+    print(f"Saved model to {model_path} (config: {config_path})")
+    if writer is not None:
+        writer.close()
+    return {"model": model_path, "config": config_path, "state": state}
+
+
+def _make_writer(config: dict, run_name: str):
+    if config.get("log_dir") is None:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(os.path.join(config["log_dir"], run_name))
+    except ImportError:
+        print("tensorboard unavailable; scalar logging disabled")
+        return None
+
+
+def _log_visualizations(writer, trainer, state, batch, key, iteration):
+    """Reconstruction + prior-sample figures (SDF slice grids)."""
+    if writer is None:
+        return
+    try:
+        from sdfest_tpu.ops import sdf_vis
+
+        recon, _, _, _ = trainer.vae.apply(
+            {"params": state["params"]}, batch[:1], key
+        )
+        fig = sdf_vis.visualize_sdf_reconstruction(
+            np.asarray(batch[0, 0]), np.asarray(recon[0, 0])
+        )
+        writer.add_figure("reconstruction", fig, iteration)
+        samples = trainer.vae.apply(
+            {"params": state["params"]}, key, 4, method=trainer.vae.inference
+        )[0]
+        fig = sdf_vis.visualize_sdf_batch(np.asarray(samples[:, 0]))
+        writer.add_figure("samples from prior", fig, iteration)
+    except Exception as e:  # visualization must never kill training
+        print(f"Visualization failed: {e}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Train SDF shape VAE.")
+    parser.add_argument("--config", nargs="+", required=False)
+    config = load_config_from_args(parser)
+    train(config)
+
+
+if __name__ == "__main__":
+    main()

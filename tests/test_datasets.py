@@ -1,0 +1,294 @@
+"""Tests for datasets: NOCS preprocessing/loading, utils, metrics.
+
+Mirrors the reference test suite (tests/initilization/test_nocs_dataset.py,
+test_nocs_utils.py, test_dataset_utils.py, tests/estimation/test_metrics.py)
+using the miniature NOCS fixture tree shipped with the reference.
+"""
+import os
+import shutil
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from sdfest_tpu.datasets import nocs_utils
+from sdfest_tpu.datasets.dataset_utils import (
+    MultiDataLoader,
+    ShuffledLoader,
+    collate_samples,
+)
+from sdfest_tpu.pipeline import metrics
+
+NOCS_FIXTURE = "/root/reference/tests/initilization/nocs_data"
+HAS_NOCS = os.path.isdir(NOCS_FIXTURE)
+
+
+# ---------------------------------------------------------------------------
+# nocs_utils
+# ---------------------------------------------------------------------------
+
+
+def test_umeyama_recovers_known_transform(rng):
+    source = rng.normal(size=(50, 3))
+    rotation = Rotation.from_euler("XYZ", [20, -40, 70], degrees=True)
+    scale = 1.7
+    translation = np.array([0.3, -0.2, 0.8])
+    target = scale * rotation.apply(source) + translation
+    scales, rot, trans, transform = nocs_utils.umeyama(source, target)
+    np.testing.assert_allclose(scales, scale, rtol=1e-6)
+    np.testing.assert_allclose(rot, rotation.as_matrix(), atol=1e-8)
+    np.testing.assert_allclose(trans, translation, atol=1e-8)
+    hom = np.hstack([source, np.ones((50, 1))])
+    np.testing.assert_allclose((transform @ hom.T).T[:, :3], target, atol=1e-8)
+
+
+def test_ransac_robust_to_outliers(rng):
+    source = rng.normal(size=(100, 3))
+    rotation = Rotation.from_euler("XYZ", [10, 30, -50], degrees=True)
+    scale = 0.8
+    translation = np.array([-0.1, 0.4, 0.2])
+    target = scale * rotation.apply(source) + translation
+    # corrupt 20% of correspondences
+    target[::5] += rng.normal(size=target[::5].shape) * 5.0
+    position, rot, est_scale, transform = (
+        nocs_utils.estimate_similarity_transform(
+            source, target, rng=np.random.default_rng(0)
+        )
+    )
+    np.testing.assert_allclose(est_scale, scale, rtol=1e-3)
+    np.testing.assert_allclose(rot, rotation.as_matrix(), atol=1e-3)
+    np.testing.assert_allclose(position, translation, atol=1e-3)
+
+
+def test_estimate_similarity_transform_too_few_points():
+    out = nocs_utils.estimate_similarity_transform(
+        np.zeros((3, 3)), np.zeros((3, 3))
+    )
+    assert out == (None, None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# dataset_utils
+# ---------------------------------------------------------------------------
+
+
+class _ToyDataset:
+    def __init__(self, n, points, value):
+        self._n = n
+        self._points = points
+        self._value = value
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "pointset": rng.normal(size=(self._points + i, 3)).astype(np.float32),
+            "label": np.float32(self._value),
+        }
+
+
+def test_collate_subsamples_to_smallest():
+    samples = [_ToyDataset(4, 100, 0)[i] for i in range(4)]
+    batch = collate_samples(samples, rng=np.random.default_rng(0))
+    assert batch["pointset"].shape == (4, 100, 3)
+    assert batch["label"].shape == (4,)
+    batch_capped = collate_samples(samples, max_points=50,
+                                   rng=np.random.default_rng(0))
+    assert batch_capped["pointset"].shape == (4, 50, 3)
+
+
+def test_multi_data_loader_sampling_statistics():
+    loader_a = ShuffledLoader(_ToyDataset(16, 10, 0), batch_size=2, seed=1)
+    loader_b = ShuffledLoader(_ToyDataset(16, 10, 1), batch_size=2, seed=2)
+    multi = MultiDataLoader([loader_a, loader_b], [0.8, 0.2], seed=3)
+    counts = [0, 0]
+    for _ in range(300):
+        batch = next(multi)
+        counts[int(batch["label"][0])] += 1
+    ratio = counts[0] / sum(counts)
+    assert 0.7 < ratio < 0.9
+
+
+# ---------------------------------------------------------------------------
+# metrics (hand-computed expectations, as the reference tests)
+# ---------------------------------------------------------------------------
+
+
+def test_chamfer_and_thresholded_metrics():
+    points_gt = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    points_rec = np.array([[0.0, 0.1, 0.0], [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    acc = metrics.mean_accuracy(points_gt, points_rec)
+    np.testing.assert_allclose(acc, (0.1 + 0.0 + 1.0) / 3)
+    comp = metrics.mean_completeness(points_gt, points_rec)
+    np.testing.assert_allclose(comp, (0.1 + 0.0) / 2)
+    chamfer = metrics.symmetric_chamfer(points_gt, points_rec)
+    np.testing.assert_allclose(chamfer, (acc + comp) / 2)
+    assert metrics.completeness_thresh(points_gt, points_rec, 0.2) == 1.0
+    assert metrics.accuracy_thresh(points_gt, points_rec, 0.2) == 2 / 3
+    f = metrics.reconstruction_fscore(points_gt, points_rec, 0.2)
+    np.testing.assert_allclose(f, 2 / (1 / 1.0 + 1 / (2 / 3)))
+
+
+def test_extent():
+    points = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.5, 0.2, 0.0], [1.0, 1.0, 1.0]]
+    )
+    np.testing.assert_allclose(metrics.extent(points), np.sqrt(3))
+
+
+def test_correct_thresh_position_and_degree():
+    r_id = Rotation.identity()
+    r_10 = Rotation.from_euler("x", 10, degrees=True)
+    assert metrics.correct_thresh(
+        np.zeros(3), np.array([0.04, 0, 0]), r_id, r_10,
+        position_threshold=0.05, degree_threshold=15.0,
+    ) == 1
+    assert metrics.correct_thresh(
+        np.zeros(3), np.array([0.06, 0, 0]), r_id, r_10,
+        position_threshold=0.05,
+    ) == 0
+    assert metrics.correct_thresh(
+        np.zeros(3), np.zeros(3), r_id, r_10, degree_threshold=5.0
+    ) == 0
+    # symmetry axis: rotation about x is ignored when axis 0 is symmetric
+    assert metrics.correct_thresh(
+        np.zeros(3), np.zeros(3), r_id,
+        Rotation.from_euler("x", 90, degrees=True),
+        degree_threshold=5.0, rotational_symmetry_axis=0,
+    ) == 1
+
+
+# ---------------------------------------------------------------------------
+# NOCS dataset (reference fixture tree)
+# ---------------------------------------------------------------------------
+
+
+def _create_datasets(tmp_path, category_str=None):
+    from sdfest_tpu.datasets.nocs_dataset import NOCSDataset
+
+    shutil.copytree(NOCS_FIXTURE, tmp_path, dirs_exist_ok=True)
+    return tuple(
+        NOCSDataset(
+            {
+                "root_dir": str(tmp_path),
+                "split": split,
+                "category_str": category_str,
+            }
+        )
+        for split in ["camera_train", "camera_val", "real_train", "real_test"]
+    )
+
+
+@pytest.mark.skipif(not HAS_NOCS, reason="NOCS fixture unavailable")
+def test_nocs_preprocessing_counts(tmp_path):
+    camera_train, camera_val, real_train, real_test = _create_datasets(tmp_path)
+    assert len(os.listdir(tmp_path / "sdfest_pre" / "camera_train")) == 5
+    assert len(os.listdir(tmp_path / "sdfest_pre" / "camera_val")) == 3
+    assert len(os.listdir(tmp_path / "sdfest_pre" / "real_train")) == 6
+    # the fixture omits laptop_air_xin_norm.obj, so the laptop instance is
+    # skipped with ObjectError (4 pkls + categories.json; the reference
+    # test's own expectation of 6 cannot hold under its skip logic)
+    assert len(os.listdir(tmp_path / "sdfest_pre" / "real_test")) == 5
+    assert len(camera_train) == 4
+    assert len(camera_val) == 2
+    assert len(real_train) == 5
+    assert len(real_test) == 4
+
+
+@pytest.mark.skipif(not HAS_NOCS, reason="NOCS fixture unavailable")
+def test_nocs_category_filtering(tmp_path):
+    camera_train, camera_val, real_train, real_test = _create_datasets(
+        tmp_path, category_str="mug"
+    )
+    assert len(camera_train) == 1
+    assert len(camera_val) == 0
+    assert len(real_train) == 1
+    assert len(real_test) == 1
+
+
+@pytest.mark.skipif(not HAS_NOCS, reason="NOCS fixture unavailable")
+def test_nocs_getitem_conventions(tmp_path):
+    from sdfest_tpu.ops import quaternion as quat_ops
+    import jax.numpy as jnp
+    from sdfest_tpu.ops.so3grid import SO3Grid
+
+    datasets = _create_datasets(tmp_path)
+    for dataset in datasets:
+        sample = dataset[0]
+        assert sample["color"].shape == (480, 640, 3)
+        assert sample["depth"].shape == (480, 640)
+        assert sample["mask"].shape == (480, 640)
+        valid_depth_points = int(np.sum(sample["depth"] != 0))
+        assert sample["pointset"].shape == (valid_depth_points, 3)
+
+        dataset._mask_pointcloud = True
+        dataset._camera_convention = "opencv"
+        sample_cv = dataset[0]
+        dataset._camera_convention = "opengl"
+        sample_gl = dataset[0]
+        assert sample_cv["position"][2] > 0
+        assert sample_gl["position"][2] < 0
+
+        dataset._scale_convention = "full"
+        full_scale = dataset[0]["scale"]
+        dataset._scale_convention = "max"
+        max_scale = dataset[0]["scale"]
+        dataset._scale_convention = "half_max"
+        half_max_scale = dataset[0]["scale"]
+        dataset._scale_convention = "diagonal"
+        diagonal_scale = dataset[0]["scale"]
+        assert full_scale.shape == (3,)
+        np.testing.assert_allclose(max_scale, np.max(full_scale), rtol=1e-6)
+        np.testing.assert_allclose(half_max_scale, 0.5 * max_scale, rtol=1e-6)
+        np.testing.assert_allclose(
+            diagonal_scale, np.linalg.norm(full_scale), rtol=1e-6
+        )
+
+        # axis remapping consistency
+        dataset._scale_convention = "full"
+        dataset._remap_y_axis = "y"
+        dataset._remap_x_axis = "x"
+        scales = dataset[0]["scale"]
+        orientation_q = dataset[0]["orientation"]
+        dataset._remap_y_axis = "x"
+        dataset._remap_x_axis = "-y"
+        scales_2 = dataset[0]["scale"]
+        orientation_q_2 = dataset[0]["orientation"]
+        np.testing.assert_allclose(scales[[1, 0, 2]], scales_2, rtol=1e-6)
+        test_point = jnp.asarray([0.1, 0.5, 0.7])
+        test_point_2 = jnp.asarray([0.5, -0.1, 0.7])
+        cam_point = quat_ops.apply(jnp.asarray(orientation_q), test_point)
+        cam_point_2 = quat_ops.apply(jnp.asarray(orientation_q_2), test_point_2)
+        np.testing.assert_allclose(
+            np.asarray(cam_point), np.asarray(cam_point_2), atol=1e-5
+        )
+
+        # orientation representations
+        dataset._orientation_repr = "quaternion"
+        assert dataset[0]["orientation"].shape == (4,)
+        dataset._orientation_repr = "discretized"
+        dataset._orientation_grid = SO3Grid(3)
+        assert np.ndim(dataset[0]["orientation"]) == 0
+
+
+@pytest.mark.skipif(not HAS_NOCS, reason="NOCS fixture unavailable")
+def test_nocs_gts_and_obj_paths(tmp_path):
+    camera_train, camera_val, real_train, real_test = _create_datasets(tmp_path)
+    gts_path = real_test._get_gts_path(
+        os.path.join(str(tmp_path), "real_test", "scene_1", "0000_color.png")
+    )
+    assert os.path.isfile(gts_path)
+    gts_path = camera_val._get_gts_path(
+        os.path.join(str(tmp_path), "val", "00000", "0000_color.png")
+    )
+    assert os.path.isfile(gts_path)
+    assert os.path.isfile(
+        camera_train._get_obj_path(
+            [0, 0, "02876657", "ab6792cddc7c4c83afbf338b16b43f53"]
+        )
+    )
+    assert os.path.isfile(
+        real_test._get_obj_path([0, 0, "bowl_white_small_norm"])
+    )
