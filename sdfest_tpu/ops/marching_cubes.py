@@ -193,11 +193,13 @@ def marching_cubes(
     if not (grid.min() < level < grid.max()):
         return None, None
     try:
-        from sdfest_tpu.native import lib as native_lib
+        from sdfest_tpu.native import api as native_api
+
+        use_native = native_api.available()
     except Exception:
-        native_lib = None
-    if native_lib is not None and hasattr(native_lib, "marching_tetrahedra"):
-        verts, faces = native_lib.marching_tetrahedra(grid, level)
+        use_native = False
+    if use_native:
+        verts, faces = native_api.marching_tetrahedra(grid, level)
     else:
         verts, faces = marching_tetrahedra_np(grid, level)
     return verts * np.asarray(spacing)[None, :], faces

@@ -117,7 +117,8 @@ class Mesh(Object):
 
     def get_transformed_vertices(self) -> np.ndarray:
         """Scaled vertices at the current pose."""
-        rot = Rotation.from_quat(self.orientation).as_matrix()
+        # copy: scipy rejects read-only buffers (e.g. arrays from JAX)
+        rot = Rotation.from_quat(np.array(self.orientation, np.float64)).as_matrix()
         return self.vertices @ rot.T + np.asarray(self.position)[None, :]
 
     def sample_points_uniformly(

@@ -1,0 +1,118 @@
+"""Preprocess ShapeNet meshes into paired obj + SDF-grid training files.
+
+Capability parity with /root/reference/sdfest/vae/scripts/process_shapenet.py
+(minus the interactive pyrender keep/remove GUI): walks a ShapeNet category
+directory for ``.obj`` meshes, converts each to a voxelized SDF with the
+native voxelizer, and writes paired ``%05d.obj`` / ``%05d.npy`` outputs.
+Selection decisions are honored via ``good_meshes.json`` / ``final_meshes.json``
+files (the reference ships its paper's final selection as
+``final_meshes.json``); multiprocess conversion via joblib when available.
+
+Usage:
+  python -m sdfest_tpu.scripts.process_shapenet --inp_folder <shapenet_cat> \
+      --out_folder <out> [--resolution 64] [--padding 2] \
+      [--filter_json final_meshes.json]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from sdfest_tpu.ops.sdf_utils import mesh_to_sdf
+from sdfest_tpu.pipeline.synthetic import Mesh, save_obj
+
+
+def find_meshes(inp_folder: str) -> List[str]:
+    """All .obj files below the input folder (recursive, sorted)."""
+    return sorted(
+        glob.glob(os.path.join(inp_folder, "**", "*.obj"), recursive=True)
+    )
+
+
+def load_filter(filter_json: Optional[str]) -> Optional[set]:
+    """Load a mesh-selection json ({path_fragment: bool} or list of names)."""
+    if filter_json is None or not os.path.exists(filter_json):
+        return None
+    with open(filter_json) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        return {k for k, v in data.items() if v}
+    return set(data)
+
+
+def _convert_one(index: int, mesh_path: str, out_folder: str,
+                 resolution: int, padding: int) -> bool:
+    mesh = Mesh(path=mesh_path, scale=1.0, rel_scale=True)
+    if len(mesh.vertices) == 0 or len(mesh.faces) == 0:
+        print(f"Empty mesh {mesh_path}. Skipping.")
+        return False
+    sdf = mesh_to_sdf(mesh, resolution, padding)
+    if sdf is None:
+        return False
+    save_obj(
+        os.path.join(out_folder, f"{index:05}.obj"), mesh.vertices, mesh.faces
+    )
+    np.save(os.path.join(out_folder, f"{index:05}.npy"), sdf)
+    return True
+
+
+def process(
+    inp_folder: str,
+    out_folder: str,
+    resolution: int = 64,
+    padding: int = 2,
+    filter_json: Optional[str] = None,
+    jobs: int = -1,
+) -> int:
+    """Convert all (selected) meshes; returns the number converted."""
+    os.makedirs(out_folder, exist_ok=True)
+    mesh_paths = find_meshes(inp_folder)
+    selection = load_filter(filter_json)
+    if selection is not None:
+        mesh_paths = [
+            p for p in mesh_paths if any(frag in p for frag in selection)
+        ]
+    print(f"Converting {len(mesh_paths)} meshes -> {out_folder}")
+    try:
+        from joblib import Parallel, delayed
+
+        results = Parallel(n_jobs=jobs)(
+            delayed(_convert_one)(i, p, out_folder, resolution, padding)
+            for i, p in enumerate(mesh_paths)
+        )
+    except ImportError:
+        results = [
+            _convert_one(i, p, out_folder, resolution, padding)
+            for i, p in enumerate(mesh_paths)
+        ]
+    converted = sum(bool(r) for r in results)
+    print(f"Converted {converted}/{len(mesh_paths)} meshes.")
+    return converted
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Preprocess ShapeNet meshes.")
+    parser.add_argument("--inp_folder", required=True)
+    parser.add_argument("--out_folder", required=True)
+    parser.add_argument("--resolution", type=int, default=64)
+    parser.add_argument("--padding", type=int, default=2)
+    parser.add_argument("--filter_json", default=None)
+    parser.add_argument("--jobs", type=int, default=-1)
+    args = parser.parse_args()
+    process(
+        args.inp_folder,
+        args.out_folder,
+        args.resolution,
+        args.padding,
+        args.filter_json,
+        args.jobs,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,340 @@
+"""Run the estimation pipeline on real RGB-D data + runtime analysis.
+
+Capability parity with /root/reference/sdfest/estimation/scripts/
+real_data.py: per-dataset RGB-D loaders (Redwood, RGB-D Object UW, REAL275),
+instance segmentation with an on-disk cache, per-instance pipeline runs, and
+the phase-bucketed runtime-analysis harness (11 runs, first skipped, with
+and without shape optimization).
+
+TPU-first differences:
+- Segmentation: Detectron2 is optional; when unavailable the script accepts
+  precomputed masks (``mask_path`` / dataset GT masks) — the reference's
+  Mask R-CNN is an external model either way.
+- Runtime phases: the reference monkey-patches host-side timing around
+  init/decode/render/backward/losses (real_data.py:217-241).  Here the
+  refinement is ONE fused XLA program, so whole-program wall-clock is the
+  primary number; per-phase costs are measured with standalone jitted
+  probes (same phase names, honest device timing via output chaining) so
+  reference-vs-rebuild tables stay comparable.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from collections import defaultdict
+from datetime import datetime
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from sdfest_tpu.ops import pointset
+from sdfest_tpu.pipeline.pipeline import NoDepthError, SDFPipeline
+from sdfest_tpu.utils.config import load_config_from_args, save_config_to_file
+
+
+# ---------------------------------------------------------------------------
+# dataset loaders
+# ---------------------------------------------------------------------------
+
+
+def load_redwood_rgbd(rgb_path: str) -> Tuple[np.ndarray, np.ndarray, str, str]:
+    """Load a Redwood RGB frame and its closest-timestamp depth frame."""
+    rgb_dir = os.path.dirname(rgb_path)
+    depth_dir = os.path.join(os.path.dirname(rgb_dir), "depth")
+    timestamp = int(os.path.basename(rgb_path).split("-")[1].split(".")[0])
+    depth_files = sorted(os.listdir(depth_dir))
+    best = min(
+        depth_files,
+        key=lambda f: abs(int(f.split("-")[1].split(".")[0]) - timestamp),
+    )
+    depth_path = os.path.join(depth_dir, best)
+    color = np.asarray(Image.open(rgb_path), dtype=np.float32) / 255.0
+    depth = np.asarray(Image.open(depth_path), dtype=np.float32) * 0.001
+    return color, depth, rgb_path, depth_path
+
+
+def load_real275_rgbd(rgb_path: str) -> Tuple[np.ndarray, np.ndarray, str, str]:
+    """Load a REAL275 color/depth pair (``*_color.png`` naming)."""
+    depth_path = rgb_path.replace("color", "depth")
+    color = np.asarray(Image.open(rgb_path), dtype=np.float32) / 255.0
+    depth = np.asarray(Image.open(depth_path), dtype=np.float32) * 0.001
+    return color, depth, rgb_path, depth_path
+
+
+def load_rgbd_object_uw_rgbd(rgb_path: str) -> Tuple[np.ndarray, np.ndarray, str, str]:
+    """Load an RGB-D Object (UW) pair (``*_depth.png`` naming)."""
+    base, ext = os.path.splitext(rgb_path)
+    depth_path = base + "_depth" + ext
+    color = np.asarray(Image.open(rgb_path), dtype=np.float32) / 255.0
+    depth = np.asarray(Image.open(depth_path), dtype=np.float32) * 0.001
+    return color, depth, rgb_path, depth_path
+
+
+_LOADERS = {
+    "redwood": load_redwood_rgbd,
+    "real275": load_real275_rgbd,
+    "rgbd_object_uw": load_rgbd_object_uw_rgbd,
+}
+
+
+def load_rgbd(config: dict) -> Tuple[np.ndarray, np.ndarray, str, str]:
+    """Load one RGB-D image per the config's ``dataset`` / ``input`` keys."""
+    dataset = config["dataset"]
+    if dataset not in _LOADERS:
+        raise NotImplementedError(f"Dataset {dataset} is not supported")
+    return _LOADERS[dataset](config["input"])
+
+
+# ---------------------------------------------------------------------------
+# segmentation
+# ---------------------------------------------------------------------------
+
+
+def get_masks(
+    color: np.ndarray,
+    depth: np.ndarray,
+    config: dict,
+    cache_path: Optional[str] = None,
+) -> List[Dict]:
+    """Instance masks for the target category.
+
+    Priority: explicit ``mask_path`` in the config > cached detections >
+    Detectron2 (if installed) > single depth-validity mask fallback.
+    Returns a list of dicts with ``mask`` (H, W bool) and ``category_str``.
+    """
+    if config.get("mask_path"):
+        mask = np.asarray(Image.open(config["mask_path"])) != 0
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        return [{"mask": mask, "category_str": config.get("category", "unknown")}]
+
+    if cache_path and os.path.exists(cache_path):
+        data = np.load(cache_path, allow_pickle=True)
+        return list(data["instances"])
+
+    try:
+        return _detectron_masks(color, config, cache_path)
+    except ImportError:
+        print(
+            "Detectron2 unavailable; falling back to the valid-depth mask. "
+            "Provide mask_path for real segmentation."
+        )
+        return [
+            {"mask": depth > 0, "category_str": config.get("category", "unknown")}
+        ]
+
+
+def _detectron_masks(color, config, cache_path):
+    import detectron2  # noqa: F401  (optional dependency)
+    from detectron2 import model_zoo
+    from detectron2.config import get_cfg
+    from detectron2.engine import DefaultPredictor
+
+    cfg = get_cfg()
+    model = "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_3x.yaml"
+    cfg.merge_from_file(model_zoo.get_config_file(model))
+    cfg.MODEL.WEIGHTS = model_zoo.get_checkpoint_url(model)
+    predictor = DefaultPredictor(cfg)
+    outputs = predictor((color * 255).astype(np.uint8)[:, :, ::-1])
+    instances = outputs["instances"].to("cpu")
+    coco_names = predictor.metadata.get("thing_classes")
+    result = []
+    for i in range(len(instances)):
+        result.append(
+            {
+                "mask": instances.pred_masks[i].numpy(),
+                "category_str": coco_names[int(instances.pred_classes[i])],
+            }
+        )
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.savez_compressed(cache_path, instances=np.asarray(result, dtype=object))
+    return result
+
+
+# ---------------------------------------------------------------------------
+# runtime analysis
+# ---------------------------------------------------------------------------
+
+
+def measure_phases(pipeline: SDFPipeline, depth, mask) -> Dict[str, Dict]:
+    """Per-phase device timings with reference-comparable phase names.
+
+    Phases: init (preprocess + network), decode (VAE), render (forward),
+    losses (depth L1 + pc), backward (gradient of the fused loss), and
+    full_refinement (the production fused program).
+    """
+    block = jax.block_until_ready
+    depth_j = pipeline._preprocess_depth(
+        jnp.asarray(depth, jnp.float32), jnp.asarray(mask)
+    )
+    points, pmask = pointset.depth_to_pointcloud_dense(depth_j, pipeline.camera)
+    key = jax.random.PRNGKey(0)
+    latent, position, scale, orientation, _ = pipeline._nn_init_single(
+        depth_j, jnp.zeros(3), jnp.asarray([0.0, 0.0, 0.0, 1.0]), key
+    )
+    if pipeline.orientation_repr == "discretized":
+        orientation = pipeline._grid_quats[jnp.argmax(orientation)][None]
+
+    def timed(fn, x0, n=10):
+        x = fn(x0)
+        block(x)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = fn(x)  # output-chained: lazy runtimes cannot skip
+        block(x)
+        return (time.perf_counter() - t0) / n
+
+    timings = {}
+    timings["init"] = {
+        "mean": timed(
+            lambda d: pipeline._nn_init_single(
+                d, jnp.zeros(3), jnp.asarray([0.0, 0.0, 0.0, 1.0]), key
+            )[1][0]
+            * 0
+            + d,
+            depth_j,
+        ),
+        "calls_per_run": 1,
+    }
+    decode = jax.jit(
+        lambda z: pipeline.vae.apply(
+            {"params": pipeline.vae_params}, z, method=pipeline.vae.decode
+        )
+    )
+    timings["decode"] = {
+        "mean": timed(lambda z: z + 1e-6 * jnp.sum(decode(z)), latent),
+        "calls_per_run": pipeline.config["max_iterations"],
+    }
+    sdf = decode(latent)[0, 0]
+    render = jax.jit(
+        lambda p: pipeline.render(sdf, p, orientation[0], 1.0 / scale[0])
+    )
+    timings["render"] = {
+        "mean": timed(lambda p: position[0] + 1e-6 * jnp.tanh(jnp.sum(render(p))),
+                      position[0]),
+        "calls_per_run": pipeline.config["max_iterations"],
+    }
+    from sdfest_tpu.pipeline import losses as L
+
+    def loss_fn(p):
+        est = render(p)
+        return L.depth_l1_loss(depth_j, est) + 3.0 * L.masked_pc_loss(
+            points, pmask, p, orientation[0], scale[0], sdf
+        )
+
+    loss_jit = jax.jit(loss_fn)
+    timings["losses"] = {
+        "mean": timed(lambda p: position[0] + 1e-6 * jnp.tanh(loss_jit(p)),
+                      position[0])
+        - timings["render"]["mean"],
+        "calls_per_run": pipeline.config["max_iterations"],
+    }
+    grad_jit = jax.jit(jax.grad(loss_fn))
+    timings["backward"] = {
+        "mean": timed(
+            lambda p: position[0] + 1e-6 * jnp.tanh(jnp.sum(grad_jit(p))),
+            position[0],
+        )
+        - timings["render"]["mean"]
+        - max(timings["losses"]["mean"], 0.0),
+        "calls_per_run": pipeline.config["max_iterations"],
+    }
+
+    def run_pipeline(d):
+        pos, _, _, _ = pipeline(d, mask, key=key)
+        return d + 1e-6 * jnp.tanh(jnp.sum(pos))
+
+    timings["full_refinement"] = {
+        "mean": timed(run_pipeline, depth_j, n=3),
+        "calls_per_run": 1,
+    }
+    for stats in timings.values():
+        stats["total_per_run"] = stats["mean"] * stats["calls_per_run"]
+    return timings
+
+
+def runtime_analysis(config: dict) -> dict:
+    """Reference-comparable runtime breakdown (runs, skip-first warm-up)."""
+    pipeline = SDFPipeline(config)
+    color, depth, _, _ = load_rgbd(config)
+    instances = get_masks(color, depth, config)
+    mask = instances[0]["mask"]
+    results = {}
+    for shape_opt in (True, False):
+        pipeline.config["shape_optimization"] = shape_opt
+        phase_stats = measure_phases(pipeline, depth, mask)
+        results["results_with_decode" if shape_opt else "results_without_decode"] = {
+            k: {kk: float(vv) for kk, vv in v.items()}
+            for k, v in phase_stats.items()
+        }
+    if config.get("out_folder"):
+        os.makedirs(config["out_folder"], exist_ok=True)
+        out_path = os.path.join(
+            config["out_folder"],
+            f"runtime_analysis_{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}.yaml",
+        )
+        save_config_to_file(out_path, {**config, **results})
+        print(f"Runtime analysis saved to {out_path}")
+    return results
+
+
+# ---------------------------------------------------------------------------
+# main demo / evaluation flow
+# ---------------------------------------------------------------------------
+
+
+def run_on_image(pipeline: SDFPipeline, config: dict) -> List[Dict]:
+    """Run the pipeline on each matching instance of one RGB-D image."""
+    color, depth, color_path, _ = load_rgbd(config)
+    cache_path = None
+    if config.get("detection_cache"):
+        cache_path = os.path.join(
+            config["detection_cache"],
+            os.path.basename(color_path) + ".npz",
+        )
+    instances = get_masks(color, depth, config, cache_path)
+    target_category = config.get("category")
+    results = []
+    for instance in instances:
+        if target_category and instance["category_str"] != target_category:
+            continue
+        try:
+            position, orientation, scale, latent = pipeline(
+                jnp.asarray(depth), jnp.asarray(instance["mask"])
+            )
+        except NoDepthError:
+            print("No depth data within mask; skipping instance.")
+            continue
+        results.append(
+            {
+                "position": np.asarray(position[0]),
+                "orientation": np.asarray(orientation[0]),
+                "scale": float(scale[0]),
+                "latent": np.asarray(latent[0]),
+                "category_str": instance["category_str"],
+            }
+        )
+    return results
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="SDF pose estimation on real data.")
+    parser.add_argument("--config", nargs="+", required=False)
+    config = load_config_from_args(parser)
+    if config.get("measure_runtime"):
+        runtime_analysis(config)
+        return
+    pipeline = SDFPipeline(config)
+    results = run_on_image(pipeline, config)
+    for r in results:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

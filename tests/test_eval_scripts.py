@@ -1,0 +1,173 @@
+"""Tests for the evaluation/runtime/playback scripts (small end-to-end runs)."""
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import yaml
+
+from sdfest_tpu.pipeline.synthetic import save_obj
+
+MUG_DIR = "/root/reference/tests/initilization/vae_model"
+HAS_REFERENCE = os.path.isdir(MUG_DIR)
+
+
+def _cube_mesh():
+    v = np.array(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+        dtype=np.float64,
+    )
+    f = np.array(
+        [
+            [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+            [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+            [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+        ]
+    )
+    return v, f
+
+
+def _eval_config(tmp_path, mesh_dir):
+    with open(os.path.join(MUG_DIR, "mug.yaml")) as f:
+        vae_config = yaml.safe_load(f)
+    vae_config["model"] = os.path.join(MUG_DIR, "mug.pt")
+    return {
+        "camera": {
+            "width": 64, "height": 48, "fx": 32, "fy": 32,
+            "cx": 32, "cy": 24, "pixel_center": 0.5,
+        },
+        "vae": vae_config,
+        "init": {
+            "model": None,
+            "normalize_pose": True,
+            "backbone_type": "VanillaPointNet",
+            "backbone": {"in_size": 3, "mlp_out_sizes": [32, 64], "batchnorm": True},
+            "head": {
+                "in_size": 64,
+                "mlp_out_sizes": [32],
+                "batchnorm": True,
+                "orientation_repr": "discretized",
+                "orientation_grid_resolution": 0,
+            },
+        },
+        "threshold": 0.005,
+        "max_iterations": 3,
+        "depth_weight": 1.0,
+        "pc_weight": 3.0,
+        "mean_shape": False,
+        "init_view": "first",
+        "iso_threshold": 0.02,
+        "num_input_points": 300,
+        "data_path": str(mesh_dir),
+        "out_folder": str(tmp_path / "results"),
+        "run_name": "test",
+        "camera_distance": 0.3,
+        "mesh_scale": 0.1,
+        "rel_scale": False,
+        "num_views": [1],
+        "samples": 500,
+        "seed": 0,
+        "shape_optimization": True,
+    }
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference fixture unavailable")
+def test_rendering_evaluation_end_to_end(tmp_path):
+    from sdfest_tpu.scripts.rendering_evaluation import Evaluator
+
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    v, f = _cube_mesh()
+    save_obj(str(mesh_dir / "cube.obj"), v, f)
+
+    config = _eval_config(tmp_path, mesh_dir)
+    results = Evaluator(config).run()
+    assert 1 in results
+    assert "chamfer" in results[1]
+    assert np.isfinite(results[1]["chamfer"]["mean"])
+    # results yaml written
+    outs = os.listdir(tmp_path / "results")
+    assert any(o.startswith("rend_eval_") for o in outs)
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference fixture unavailable")
+def test_rendering_evaluation_ablations(tmp_path):
+    from sdfest_tpu.scripts.rendering_evaluation import Evaluator
+
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    v, f = _cube_mesh()
+    save_obj(str(mesh_dir / "cube.obj"), v, f)
+    config = _eval_config(tmp_path, mesh_dir)
+    config["ablation_configs"] = {
+        "standard": {},
+        "no_shape_opt": {"shape_optimization": False},
+    }
+    results = Evaluator(config).run()
+    assert set(results.keys()) == {"standard", "no_shape_opt"}
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference fixture unavailable")
+def test_pipeline_log_and_playback(tmp_path):
+    """Pipeline writes a flight-recorder log; play_log plots it."""
+    import jax
+    from sdfest_tpu.pipeline.pipeline import SDFPipeline
+    from sdfest_tpu.scripts.play_log import load_log, plot_trajectories
+
+    config = _eval_config(tmp_path, tmp_path)
+    pipeline = SDFPipeline(config)
+    latent = jax.random.normal(jax.random.PRNGKey(5), (1, 8))
+    sdf = pipeline._decode(latent)[0, 0]
+    depth = pipeline.render(
+        sdf, jnp.asarray([0.0, 0.0, -0.45]), jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+        jnp.asarray(1.0 / 0.12),
+    )
+    log_path = str(tmp_path / "log.pkl")
+    pipeline(depth, depth > 0, log_path=log_path)
+    assert os.path.isfile(log_path)
+    data = load_log(log_path)
+    assert len(data["log"]["loss"]) == config["max_iterations"]
+    plot_trajectories(data["log"], str(tmp_path / "traj.png"))
+    assert os.path.isfile(tmp_path / "traj.png")
+
+
+def test_real_data_loaders(tmp_path):
+    from PIL import Image
+
+    from sdfest_tpu.scripts.real_data import load_rgbd
+
+    # redwood layout: rgb/0000300-000010021284.jpg + depth/...
+    rgb_dir = tmp_path / "seq" / "rgb"
+    depth_dir = tmp_path / "seq" / "depth"
+    rgb_dir.mkdir(parents=True)
+    depth_dir.mkdir()
+    rgb_path = rgb_dir / "0000300-000010021284.jpg"
+    Image.fromarray(np.zeros((480, 640, 3), np.uint8)).save(rgb_path)
+    Image.fromarray(
+        (np.ones((480, 640)) * 1000).astype(np.uint16)
+    ).save(depth_dir / "0000299-000010001000.png")
+    color, depth, cp, dp = load_rgbd({"dataset": "redwood", "input": str(rgb_path)})
+    assert color.shape == (480, 640, 3)
+    assert depth.shape == (480, 640)
+    np.testing.assert_allclose(depth, 1.0)
+
+    # real275 layout
+    c = tmp_path / "0000_color.png"
+    Image.fromarray(np.zeros((480, 640, 3), np.uint8)).save(c)
+    Image.fromarray((np.ones((480, 640)) * 500).astype(np.uint16)).save(
+        tmp_path / "0000_depth.png"
+    )
+    color, depth, _, _ = load_rgbd({"dataset": "real275", "input": str(c)})
+    np.testing.assert_allclose(depth, 0.5)
+
+
+def test_get_masks_fallback(tmp_path):
+    from sdfest_tpu.scripts.real_data import get_masks
+
+    color = np.zeros((48, 64, 3), np.float32)
+    depth = np.zeros((48, 64), np.float32)
+    depth[10:20, 10:20] = 0.5
+    masks = get_masks(color, depth, {"category": "mug"})
+    assert len(masks) == 1
+    assert masks[0]["mask"].sum() == 100
