@@ -9,8 +9,10 @@ the production backend (Pallas on TPU) over the pure-XLA gather-based path
 on the same device — the honest measure of what the TPU-native kernel
 design buys (the reference repo publishes no numbers, BASELINE.md).
 
-All timings chain each iteration's input through the previous output so
-lazily-executing runtimes cannot skip work.
+Timing methodology: the runtime executes lazily and caches bitwise-identical
+requests, so every measurement scans over DISTINCT random poses inside one
+jitted program (per-call cost = program time / #poses) and repeats with
+perturbed pose sets.  Fixed-point "chained" probes are NOT sufficient.
 """
 import argparse
 import json
@@ -26,21 +28,11 @@ def make_sphere_sdf(res=64, radius=0.5):
     return (np.sqrt(x * x + y * y + z * z) - radius).astype(np.float32)
 
 
-def chained_time(f, x0, n, block):
-    """Mean seconds/call of x -> f(x), output chained into the next input."""
-    x = f(x0)
-    block(x)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        x = f(x)
-    block(x)
-    return (time.perf_counter() - t0) / n
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small sizes (CI)")
-    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--poses", type=int, default=20)
+    parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--refine-iters", type=int, default=50)
     args = parser.parse_args()
 
@@ -49,14 +41,14 @@ def main():
     import optax
 
     from sdfest_tpu.ops.camera import Camera
-    from sdfest_tpu.ops import pointset
+    from sdfest_tpu.ops import pointset, quaternion
     from sdfest_tpu.pipeline import losses as L
     from sdfest_tpu.render import render_depth, resolve_backend
 
     if args.quick:
         camera = Camera(width=160, height=112, fx=80, fy=80, cx=80, cy=56,
                         pixel_center=0.5)
-        args.iters, args.refine_iters = 3, 5
+        args.poses, args.reps, args.refine_iters = 4, 1, 5
     else:
         camera = Camera(width=640, height=480, fx=320, fy=320, cx=320, cy=240,
                         pixel_center=0.5)
@@ -64,49 +56,64 @@ def main():
     block = jax.block_until_ready
     sdf = jnp.asarray(make_sphere_sdf(64))
     true_p = jnp.asarray([0.02, -0.01, -0.5])
-    quat = jnp.asarray([0.0, 0.0, 0.0, 1.0])
-    inv_scale = jnp.asarray(5.0)
+    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    backend = resolve_backend("auto")
 
-    def render(backend):
-        return lambda p: render_depth(
-            sdf, p, quat, inv_scale, camera=camera, threshold=0.005,
-            backend=backend,
+    # random realistic pose set (object visible, ~20-45% of tiles active)
+    m = args.poses
+    ps = true_p + 0.05 * jax.random.normal(jax.random.PRNGKey(0), (m, 3))
+    qs = quaternion.random_uniform(jax.random.PRNGKey(1), (m,)) * 0.2 + jnp.tile(
+        q0, (m, 1)
+    ) * 0.8
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+    scales = 0.2 + 0.02 * jax.random.normal(jax.random.PRNGKey(2), (m,))
+
+    def render(bk):
+        return lambda p, q, s: render_depth(
+            sdf, p, q, 1.0 / s, camera=camera, threshold=0.005, backend=bk
         )
 
-    def render_chain(backend):
-        r = render(backend)
-        return lambda p: true_p + 1e-4 * jnp.tanh(jnp.sum(r(p)))
+    def sweep_time(fn, reps=args.reps):
+        """Mean seconds/call over the random-pose sweep inside one program."""
 
-    backend = resolve_backend("auto")
-    t_fwd = chained_time(render_chain(backend), true_p, args.iters, block)
+        @jax.jit
+        def run(ps, qs, scales):
+            def step(acc, xs):
+                return acc + fn(*xs), None
+            out, _ = jax.lax.scan(step, 0.0, (ps, qs, scales))
+            return out
+
+        r = run(ps, qs, scales)
+        block(r)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            r = run(ps * (1.0 + 1e-4 * (i + 1)), qs, scales)
+            block(r)
+        return (time.perf_counter() - t0) / reps / m
+
+    t_fwd = sweep_time(lambda p, q, s: jnp.sum(render(backend)(p, q, s)))
     renders_per_sec = 1.0 / t_fwd
-
-    # XLA reference path on the same device (slower on TPU; same on CPU)
     t_xla = (
-        chained_time(render_chain("xla"), true_p, max(args.iters // 3, 1), block)
-        if backend == "pallas"
+        sweep_time(lambda p, q, s: jnp.sum(render("xla")(p, q, s)), reps=1)
+        if backend == "pallas" and not args.quick
         else t_fwd
     )
 
-    # full gradient step: render + masked L1 + pc loss + backward
-    target = render(backend)(true_p)
+    target = render(backend)(true_p, q0, jnp.asarray(0.2))
     points, pmask = pointset.depth_to_pointcloud_dense(target, camera)
 
-    def loss_fn(p):
-        est = render(backend)(p)
+    def loss_fn(p, q, s):
+        est = render(backend)(p, q, s)
         return L.depth_l1_loss(target, est) + 3.0 * L.masked_pc_loss(
-            points, pmask, p, quat, 1.0 / inv_scale, sdf
+            points, pmask, p, q, s, sdf
         )
 
-    grad_fn = jax.jit(jax.grad(loss_fn))
-    t_grad = chained_time(
-        lambda p: true_p + 1e-4 * jnp.tanh(jnp.sum(grad_fn(p))),
-        true_p,
-        max(args.iters // 2, 1),
-        block,
+    t_grad = sweep_time(
+        lambda p, q, s: jnp.sum(jax.grad(loss_fn, argnums=(0,))(p, q, s)[0])
     )
 
-    # refinement loop: scanned Adam steps, one XLA program
+    # refinement: scanned Adam steps from a perturbed start (honest: the
+    # trajectory itself provides distinct states)
     optimizer = optax.adam(1e-3)
 
     @jax.jit
@@ -115,17 +122,9 @@ def main():
 
         def step(carry, _):
             st, os_ = carry
-
-            def loss(s):
-                est = render_depth(
-                    sdf, s["p"], s["q"], 1.0 / s["scale"], camera=camera,
-                    threshold=0.005, backend=backend,
-                )
-                return L.depth_l1_loss(target, est) + 3.0 * L.masked_pc_loss(
-                    points, pmask, s["p"], s["q"], s["scale"], sdf
-                )
-
-            l, g = jax.value_and_grad(loss)(st)
+            l, g = jax.value_and_grad(
+                lambda s: loss_fn(s["p"], s["q"], s["scale"])
+            )(st)
             up, os_ = optimizer.update(g, os_)
             st = optax.apply_updates(st, up)
             st = dict(st, q=st["q"] / jnp.linalg.norm(st["q"]))
@@ -136,16 +135,17 @@ def main():
         return st, ls
 
     s0 = {
-        "p": true_p + jnp.asarray([0.04, -0.03, 0.05]),
+        "p": true_p + jnp.asarray([0.03, -0.02, 0.03]),
         "q": jnp.asarray([0.05, 0.0, 0.0, 1.0]) / jnp.sqrt(1.0025),
-        "scale": jnp.asarray(0.24),
+        "scale": jnp.asarray(0.22),
     }
-
-    def refine_chain(s):
-        st, ls = refine(s)
-        return dict(st, p=s0["p"] + 1e-4 * jnp.tanh(ls[-1]))
-
-    t_refine = chained_time(refine_chain, s0, max(args.iters // 3, 1), block)
+    st, ls = refine(s0)
+    block(ls)
+    t0 = time.perf_counter()
+    for i in range(max(args.reps, 1)):
+        st, ls = refine(dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1))))
+    block(ls)
+    t_refine = (time.perf_counter() - t0) / max(args.reps, 1)
     refine_iters_per_sec = args.refine_iters / t_refine
 
     result = {
@@ -161,6 +161,7 @@ def main():
             "xla_render_ms": round(t_xla * 1000, 2),
             "fwd_bwd_ms": round(t_grad * 1000, 2),
             "refine_iters_per_sec": round(refine_iters_per_sec, 2),
+            "loss_first_last": [round(float(ls[0]), 4), round(float(ls[-1]), 4)],
             "device": str(jax.devices()[0]),
         },
     }

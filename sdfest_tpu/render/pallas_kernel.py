@@ -96,6 +96,14 @@ def _base_frac(coord: jax.Array, res: int) -> Tuple[jax.Array, jax.Array]:
     return base, scaled - base
 
 
+def _jk_iota(q: int, res: int):
+    """Loop-invariant (j, k) lane index fields for (q, res^2) rows."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (q, res * res), 1)
+    j_idx = iota // res
+    k_idx = iota - j_idx * res
+    return j_idx, k_idx
+
+
 def _pair_product_row(
     by: jax.Array,
     fy_w0: jax.Array,
@@ -104,18 +112,18 @@ def _pair_product_row(
     fz_w0: jax.Array,
     fz_w1: jax.Array,
     res: int,
+    jk=None,
 ) -> jax.Array:
     """Outer product of two 2-sparse rows, built directly at (Q, res^2).
 
     Row q has weight ``wy(j) * wz(k)`` at lane ``j*res + k`` where wy is
     ``fy_w0`` at ``by`` / ``fy_w1`` at ``by+1`` (same for z).  Built with 2D
     iota arithmetic — Mosaic cannot reshape a rank-3 (Q, res, res) outer
-    product into lanes.
+    product into lanes.  Pass precomputed ``jk`` index fields to hoist the
+    integer division out of marching loops.
     """
     q = by.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (q, res * res), 1)
-    j_idx = iota // res
-    k_idx = iota - j_idx * res
+    j_idx, k_idx = _jk_iota(q, res) if jk is None else jk
     byi = by.astype(jnp.int32)
     bzi = bz.astype(jnp.int32)
     u = jnp.where(j_idx == byi, fy_w0, 0.0) + jnp.where(j_idx == byi + 1, fy_w1, 0.0)
@@ -123,9 +131,9 @@ def _pair_product_row(
     return u * v
 
 
-def _outer_lerp(by, fy, bz, fz, res: int) -> jax.Array:
+def _outer_lerp(by, fy, bz, fz, res: int, jk=None) -> jax.Array:
     """A[q, j*res+k] = lerp_y[q,j] * lerp_z[q,k] (value weights)."""
-    return _pair_product_row(by, 1.0 - fy, fy, bz, 1.0 - fz, fz, res)
+    return _pair_product_row(by, 1.0 - fy, fy, bz, 1.0 - fz, fz, res, jk)
 
 
 def _bases_fracs(pts: jax.Array, res: int):
@@ -135,11 +143,11 @@ def _bases_fracs(pts: jax.Array, res: int):
     return (bx, by, bz), (fx, fy, fz)
 
 
-def _sample_tile(tt_ref, pts: jax.Array, res: int) -> jax.Array:
+def _sample_tile(tt_ref, pts: jax.Array, res: int, jk=None) -> jax.Array:
     """Trilinear-sample ``pts`` (Q, 3) against the resident table; (Q, 1)."""
     (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
     xx = _one_hot_pair(bx, fx, res)
-    a = _outer_lerp(by, fy, bz, fz, res)
+    a = _outer_lerp(by, fy, bz, fz, res, jk)
     m = jnp.dot(a, tt_ref[:], preferred_element_type=jnp.float32,
                 precision=_MM_PRECISION)  # (Q, res)
     return jnp.sum(m * xx, axis=1, keepdims=True)
@@ -209,10 +217,12 @@ def _march_kernel(
         _, _, active, step = carry
         return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
 
+    jk = _jk_iota(dirs_o.shape[0], res)  # hoisted out of the march loop
+
     def body(carry):
         t, depth, active, step = carry
         pts = (origin_o + t * dirs_o) * inv_scale
-        dist = _sample_tile(tt_ref, pts, res) * scale
+        dist = _sample_tile(tt_ref, pts, res, jk) * scale
         hit = jnp.where(dist < threshold * t, 1.0, 0.0)
         terminated = active * hit
         depth = jnp.where(terminated > 0.0, -t * dz, depth)
