@@ -414,9 +414,18 @@ class NOCSDataset:
         if np.max(depth[valid]) > 32.0:
             print("Erroneous depth detected.")
             raise nocs_utils.PoseEstimationError()
+        # deterministic RANSAC seed per instance (borderline instances must
+        # not flip between runs)
+        import zlib
+
+        seed = zlib.crc32(
+            f"{os.path.basename(color_path)}:{mask_id}".encode()
+        )
         position, rotation_matrix, scale, out_transform = (
             nocs_utils.estimate_similarity_transform(
-                centered_nocs_points, measured_points
+                centered_nocs_points,
+                measured_points,
+                rng=np.random.default_rng(seed),
             )
         )
         if position is None:
