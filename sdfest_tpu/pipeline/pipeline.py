@@ -137,6 +137,8 @@ class SDFPipeline:
             inv_scale,
             camera=self.camera,
             threshold=self.config["threshold"],
+            backend=self.config.get("renderer_backend", "auto"),
+            relaxation=self.config.get("relaxation", 1.0),
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))

@@ -119,9 +119,10 @@ def sample_sdf_masked_extrapolating(
 def _render_pallas(static, sdf, position, orientation, inv_scale):
     from sdfest_tpu.render.pallas_kernel import render_depth_pallas_fwd
 
-    camera, threshold, max_steps = static
+    camera, threshold, max_steps, relaxation = static
     return render_depth_pallas_fwd(
-        sdf, position, orientation, inv_scale, camera, threshold, max_steps
+        sdf, position, orientation, inv_scale, camera, threshold, max_steps,
+        relaxation,
     )
 
 
@@ -147,7 +148,7 @@ def _surrogate_with_op(sdf, position, orientation, inv_scale, depth, dirs):
 
 
 def _render_pallas_bwd(static, residuals, grad_depth):
-    camera, _, _ = static
+    camera = static[0]
     sdf, position, orientation, inv_scale, depth = residuals
     dirs = xla_backend.pixel_directions(camera, sdf.dtype)
     _, vjp = jax.vjp(
@@ -175,12 +176,16 @@ def render_depth(
     threshold: float = 0.0,
     max_steps: int = 500,
     backend: str = "auto",
+    relaxation: float = 1.0,
 ) -> jax.Array:
     """Render a depth image of a posed, scaled, voxelized SDF.
 
     Differentiable w.r.t. sdf, position, orientation and inv_scale via the
     analytic VJP.  See :func:`sdfest_tpu.render.xla.render_depth` for
-    conventions; ``backend`` selects the execution strategy.
+    conventions; ``backend`` selects the execution strategy.  ``relaxation``
+    > 1 enables relaxed sphere tracing on the pallas backend (over-stepping
+    with conservative fallback; faster, depth within ~threshold*t of plain
+    marching).
     """
     backend = resolve_backend(backend)
     if camera is None:
@@ -196,7 +201,7 @@ def render_depth(
     ):
         backend = "xla"  # kernel constraints unmet; use the generic path
     if backend == "pallas":
-        static = (camera, float(threshold), int(max_steps))
+        static = (camera, float(threshold), int(max_steps), float(relaxation))
         return _render_pallas(
             static,
             jnp.asarray(sdf),

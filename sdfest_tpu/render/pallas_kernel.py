@@ -44,8 +44,10 @@ from sdfest_tpu.ops import quaternion
 from sdfest_tpu.render.xla import _obb_intersect, pixel_directions
 
 RES = 64
-Q = 256  # rays/queries per tile (16 x 16 pixels)
-TILE = 16
+Q = 256  # queries per tile for the standalone sampling/scatter kernels
+TILE = 8  # pixel tile edge for the march (8x8: isolates slow silhouette
+# "shell" rays, which march ~100+ steps while interior rays finish in ~10)
+QM = TILE * TILE  # rays per march tile
 
 # Mosaic supports DEFAULT (single bf16 pass, ~8e-3 relative — too coarse
 # for SDF values near the surface) or HIGHEST (fp32 contract); use fp32
@@ -97,11 +99,10 @@ def _base_frac(coord: jax.Array, res: int) -> Tuple[jax.Array, jax.Array]:
 
 
 def _jk_iota(q: int, res: int):
-    """Loop-invariant (j, k) lane index fields for (q, res^2) rows."""
+    """Loop-invariant (j,) lane index field for (q, res^2) rows."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (q, res * res), 1)
     j_idx = iota // res
-    k_idx = iota - j_idx * res
-    return j_idx, k_idx
+    return j_idx, None
 
 
 def _pair_product_row(
@@ -123,11 +124,18 @@ def _pair_product_row(
     integer division out of marching loops.
     """
     q = by.shape[0]
-    j_idx, k_idx = _jk_iota(q, res) if jk is None else jk
+    j_idx, _ = _jk_iota(q, res) if jk is None else jk
     byi = by.astype(jnp.int32)
-    bzi = bz.astype(jnp.int32)
+    # y factor: a 64-lane BLOCK one-hot over the wide row (built with lane
+    # compares); z factor: a narrow (Q, res) one-hot tiled across the row
+    # with pltpu.repeat (pure data movement -- tile-style semantics)
     u = jnp.where(j_idx == byi, fy_w0, 0.0) + jnp.where(j_idx == byi + 1, fy_w1, 0.0)
-    v = jnp.where(k_idx == bzi, fz_w0, 0.0) + jnp.where(k_idx == bzi + 1, fz_w1, 0.0)
+    bzi = bz.astype(jnp.int32)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (q, res), 1)
+    v64 = jnp.where(k_iota == bzi, fz_w0, 0.0) + jnp.where(
+        k_iota == bzi + 1, fz_w1, 0.0
+    )
+    v = pltpu.repeat(v64, res, axis=1)
     return u * v
 
 
@@ -200,6 +208,7 @@ def _march_kernel(
     *,
     res: int,
     max_steps: int,
+    relaxation: float = 1.0,
 ):
     sc = scalars_ref[:]
     inv_scale = sc[:, 0:1]
@@ -213,27 +222,76 @@ def _march_kernel(
     # float mask: Mosaic cannot carry i1 vectors through scf.while
     active0 = active_ref[0]
 
-    def cond(carry):
-        _, _, active, step = carry
-        return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
-
     jk = _jk_iota(dirs_o.shape[0], res)  # hoisted out of the march loop
 
-    def body(carry):
-        t, depth, active, step = carry
-        pts = (origin_o + t * dirs_o) * inv_scale
-        dist = _sample_tile(tt_ref, pts, res, jk) * scale
-        hit = jnp.where(dist < threshold * t, 1.0, 0.0)
-        terminated = active * hit
-        depth = jnp.where(terminated > 0.0, -t * dz, depth)
-        active = active * (1.0 - hit)
-        t = jnp.where(active > 0.0, t + dist, t)
-        active = active * jnp.where(t < t_max, 1.0, 0.0)
-        return t, depth, active, step + 1
+    if relaxation <= 1.0:
+        # plain sphere tracing (exact reference semantics)
+        def cond(carry):
+            _, _, active, step = carry
+            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
 
-    _, depth, _, _ = jax.lax.while_loop(
-        cond, body, (t0, jnp.zeros_like(t0), active0, 0)
-    )
+        def body(carry):
+            t, depth, active, step = carry
+            pts = (origin_o + t * dirs_o) * inv_scale
+            dist = _sample_tile(tt_ref, pts, res, jk) * scale
+            hit = jnp.where(dist < threshold * t, 1.0, 0.0)
+            terminated = active * hit
+            depth = jnp.where(terminated > 0.0, -t * dz, depth)
+            active = active * (1.0 - hit)
+            t = jnp.where(active > 0.0, t + dist, t)
+            active = active * jnp.where(t < t_max, 1.0, 0.0)
+            return t, depth, active, step + 1
+
+        _, depth, _, _ = jax.lax.while_loop(
+            cond, body, (t0, jnp.zeros_like(t0), active0, 0)
+        )
+    else:
+        # relaxed sphere tracing (Keinert et al. 2014): over-step by the
+        # relaxation factor; when consecutive unbounding spheres do not
+        # overlap (stepped > d_prev + d) the overshoot is reverted to the
+        # last safe position and that ray falls back to a plain step, so no
+        # surface the plain march would hit is skipped
+        def cond(carry):
+            _, _, active, _, _, step = carry
+            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
+
+        def body(carry):
+            t, depth, active, stepped, d_prev, step = carry
+            pts = (origin_o + t * dirs_o) * inv_scale
+            d = _sample_tile(tt_ref, pts, res, jk) * scale
+            # only a previously over-stepped ray can revert (stepped > 0);
+            # rays starting inside the surface must hit, not loop
+            revert = (
+                active
+                * jnp.where(stepped > d_prev + d, 1.0, 0.0)
+                * jnp.where(stepped > 0.0, 1.0, 0.0)
+            )
+            advance = active * (1.0 - revert)
+            hit = advance * jnp.where(d < threshold * t, 1.0, 0.0)
+            depth = jnp.where(hit > 0.0, -t * dz, depth)
+            advance = advance * (1.0 - hit)
+            active = active * (1.0 - hit)
+            # reverted rays go back to the safe position and re-march plainly
+            t_safe = t - stepped + d_prev
+            new_t = jnp.where(revert > 0.0, t_safe, t + relaxation * d)
+            t = jnp.where(active > 0.0, new_t, t)
+            stepped = jnp.where(revert > 0.0, 0.0, relaxation * d)
+            d_prev = jnp.where(revert > 0.0, d_prev, d)
+            active = active * jnp.where(t < t_max, 1.0, 0.0)
+            return t, depth, active, stepped, d_prev, step + 1
+
+        _, depth, _, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                t0,
+                jnp.zeros_like(t0),
+                active0,
+                jnp.zeros_like(t0),
+                jnp.zeros_like(t0),
+                0,
+            ),
+        )
     depth_ref[0] = depth
 
 
@@ -253,7 +311,9 @@ def _untile_image(x: jax.Array, h: int, w: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("camera", "threshold", "max_steps", "interpret")
+    jax.jit,
+    static_argnames=("camera", "threshold", "max_steps", "relaxation",
+                     "interpret"),
 )
 def render_depth_pallas_fwd(
     sdf: jax.Array,
@@ -263,6 +323,7 @@ def render_depth_pallas_fwd(
     camera: Camera,
     threshold: float = 0.0,
     max_steps: int = 200,
+    relaxation: float = 1.0,
     interpret=None,
 ) -> jax.Array:
     """Forward sphere-trace via the Pallas tile kernel; returns (H, W) depth.
@@ -289,13 +350,13 @@ def render_depth_pallas_fwd(
     dirs_o = dirs @ rot
 
     n_tiles = (h // TILE) * (w // TILE)
-    dirs_t = _tile_image(dirs_o, h, w).reshape(n_tiles, Q, 3)
-    dz_t = _tile_image(dirs[..., 2:3], h, w).reshape(n_tiles, Q, 1)
-    tmin_t = _tile_image(t_min[..., None], h, w).reshape(n_tiles, Q, 1)
-    tmax_t = _tile_image(t_max[..., None], h, w).reshape(n_tiles, Q, 1)
+    dirs_t = _tile_image(dirs_o, h, w).reshape(n_tiles, QM, 3)
+    dz_t = _tile_image(dirs[..., 2:3], h, w).reshape(n_tiles, QM, 1)
+    tmin_t = _tile_image(t_min[..., None], h, w).reshape(n_tiles, QM, 1)
+    tmax_t = _tile_image(t_max[..., None], h, w).reshape(n_tiles, QM, 1)
     active0 = hit & (t_min < t_max)
     act_t = _tile_image(active0[..., None].astype(dtype), h, w).reshape(
-        n_tiles, Q, 1
+        n_tiles, QM, 1
     )
 
     table = sdf_to_table(sdf)
@@ -304,27 +365,28 @@ def render_depth_pallas_fwd(
     ).reshape(1, 2)
 
     depth_t = pl.pallas_call(
-        functools.partial(_march_kernel, res=res, max_steps=max_steps),
+        functools.partial(_march_kernel, res=res, max_steps=max_steps,
+                          relaxation=relaxation),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((res * res, res), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 3), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, QM, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, Q, 1), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, QM, 1), dtype),
         interpret=interpret,
     )(
         table,
@@ -336,7 +398,7 @@ def render_depth_pallas_fwd(
         origin_o.astype(dtype),
         scalars,
     )
-    return _untile_image(depth_t.reshape(n_tiles * Q), h, w)
+    return _untile_image(depth_t.reshape(n_tiles * QM), h, w)
 
 
 # ---------------------------------------------------------------------------
