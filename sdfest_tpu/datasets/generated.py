@@ -50,6 +50,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "gaussian_noise_kernel_std": 1,
     "num_points": 2500,
     "pointcloud": True,
+    "relaxation": 1.0,  # >1: relaxed sphere tracing for generation renders
 }
 
 
@@ -175,6 +176,7 @@ class SDFVAEViewDataset:
             1.0 / scale,
             camera=self.camera,
             threshold=cfg["render_threshold"],
+            relaxation=cfg["relaxation"],
         )
 
         exact_mask = depth != 0
