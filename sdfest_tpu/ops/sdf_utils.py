@@ -6,7 +6,7 @@ C++ kernels (:mod:`sdfest_tpu.native`) and the framework's own mesh type.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import dataclasses
 import functools
 import pickle
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

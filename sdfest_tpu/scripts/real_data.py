@@ -20,10 +20,8 @@ TPU-first differences:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import time
-from collections import defaultdict
 from datetime import datetime
 from typing import Dict, List, Optional, Tuple
 

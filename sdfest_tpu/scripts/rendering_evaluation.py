@@ -25,7 +25,6 @@ from datetime import datetime
 from pydoc import locate
 from typing import Dict, List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

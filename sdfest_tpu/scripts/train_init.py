@@ -21,11 +21,10 @@ import argparse
 import os
 import time
 from datetime import datetime
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sdfest_tpu.datasets.dataset_utils import (
     MultiDataLoader,

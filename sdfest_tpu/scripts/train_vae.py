@@ -22,7 +22,7 @@ import numpy as np
 from sdfest_tpu.datasets.sdf_dataset import SDFDataset
 from sdfest_tpu.training.vae_trainer import VAETrainer
 from sdfest_tpu.utils import checkpoint as ckpt
-from sdfest_tpu.utils.config import load_config_from_args, save_config_to_file
+from sdfest_tpu.utils.config import load_config_from_args
 
 
 def train(config: dict) -> dict:

@@ -10,11 +10,10 @@ discretized representation.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from sdfest_tpu.models.pose_net import create_pose_net

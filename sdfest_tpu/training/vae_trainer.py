@@ -21,12 +21,11 @@ Data parallelism: wrap :meth:`VAETrainer.train_step` with
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from sdfest_tpu.models.vae import create_vae_from_config
 from sdfest_tpu.ops import pointset, quaternion

@@ -22,7 +22,6 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import serialization
 
 from sdfest_tpu.utils.config import resolve_path
