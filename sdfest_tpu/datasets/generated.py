@@ -51,6 +51,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "num_points": 2500,
     "pointcloud": True,
     "relaxation": 1.0,  # >1: relaxed sphere tracing for generation renders
+    "coarse_culling": True,  # hierarchical empty-space culling (pallas)
 }
 
 
@@ -177,6 +178,7 @@ class SDFVAEViewDataset:
             camera=self.camera,
             threshold=cfg["render_threshold"],
             relaxation=cfg["relaxation"],
+            culling=cfg["coarse_culling"],
         )
 
         exact_mask = depth != 0

@@ -139,6 +139,7 @@ class SDFPipeline:
             threshold=self.config["threshold"],
             backend=self.config.get("renderer_backend", "auto"),
             relaxation=self.config.get("relaxation", 1.0),
+            culling=self.config.get("coarse_culling", True),
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))

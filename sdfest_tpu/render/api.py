@@ -119,10 +119,10 @@ def sample_sdf_masked_extrapolating(
 def _render_pallas(static, sdf, position, orientation, inv_scale):
     from sdfest_tpu.render.pallas_kernel import render_depth_pallas_fwd
 
-    camera, threshold, max_steps, relaxation = static
+    camera, threshold, max_steps, relaxation, culling = static
     return render_depth_pallas_fwd(
         sdf, position, orientation, inv_scale, camera, threshold, max_steps,
-        relaxation,
+        relaxation, culling,
     )
 
 
@@ -177,6 +177,7 @@ def render_depth(
     max_steps: int = 500,
     backend: str = "auto",
     relaxation: float = 1.0,
+    culling: bool = True,
 ) -> jax.Array:
     """Render a depth image of a posed, scaled, voxelized SDF.
 
@@ -185,7 +186,9 @@ def render_depth(
     conventions; ``backend`` selects the execution strategy.  ``relaxation``
     > 1 enables relaxed sphere tracing on the pallas backend (over-stepping
     with conservative fallback; faster, depth within ~threshold*t of plain
-    marching).
+    marching).  ``culling`` enables hierarchical empty-space culling on the
+    pallas backend (conservative coarse-grid bound steps in empty space;
+    never skips a surface the plain march would hit).
     """
     backend = resolve_backend(backend)
     if camera is None:
@@ -201,7 +204,10 @@ def render_depth(
     ):
         backend = "xla"  # kernel constraints unmet; use the generic path
     if backend == "pallas":
-        static = (camera, float(threshold), int(max_steps), float(relaxation))
+        static = (
+            camera, float(threshold), int(max_steps), float(relaxation),
+            bool(culling),
+        )
         return _render_pallas(
             static,
             jnp.asarray(sdf),

@@ -47,6 +47,10 @@ Q = 256  # queries per tile for the standalone sampling/scatter kernels
 TILE = 8  # pixel tile edge for the march (8x8: isolates slow silhouette
 # "shell" rays, which march ~100+ steps while interior rays finish in ~10)
 QM = TILE * TILE  # rays per march tile
+NC = 16  # coarse empty-space-culling grid resolution per axis
+# conservative slack subtracted from the coarse min-pool: covers fp noise and
+# the (clamped) linear extrapolation just outside the volume boundary
+_COARSE_MARGIN = 1e-4
 
 # Mosaic supports DEFAULT (single bf16 pass, ~8e-3 relative — too coarse
 # for SDF values near the surface) or HIGHEST (fp32 contract); use fp32
@@ -69,6 +73,40 @@ def sdf_to_table(sdf: jax.Array) -> jax.Array:
 def table_grad_to_sdf(grad_table: jax.Array, res: int = RES) -> jax.Array:
     """Map a gradient w.r.t. Tt back to the (res, res, res) layout."""
     return jnp.transpose(grad_table, (1, 0)).reshape(res, res, res)
+
+
+def coarse_min_table(sdf: jax.Array, nc: int = NC) -> jax.Array:
+    """Conservative coarse lower-bound table for empty-space culling.
+
+    ``C[i, j, k]`` is a lower bound on the trilinear interpolant at every
+    point whose clamped coarse index is ``(i, j, k)``: the minimum over all
+    fine vertices any such interpolation can touch (trilinear values are
+    bounded below by the minimum of their 8 cell corners), minus a small
+    slack (:data:`_COARSE_MARGIN`).  Returned in the contraction layout
+    ``Ttc[j*nc + k, i] = C[i, j, k]`` (matching :func:`sdf_to_table`).
+    """
+    res = sdf.shape[0]
+    # coarse cell i covers fine coordinates u in [i, i+1] * (res-1)/nc; the
+    # trilinear corners for u are floor(u) and floor(u)+1 (base clamped)
+    i = jnp.arange(nc)
+    lo = jnp.floor(i * (res - 1) / nc).astype(jnp.int32)
+    hi = jnp.minimum(
+        jnp.floor((i + 1) * (res - 1) / nc).astype(jnp.int32) + 1, res - 1
+    )
+    v = jnp.arange(res)
+    m = (v[None, :] >= lo[:, None]) & (v[None, :] <= hi[:, None])  # (nc, res)
+    big = jnp.asarray(jnp.inf, sdf.dtype)
+    t1 = jnp.min(
+        jnp.where(m[:, :, None, None], sdf[None], big), axis=1
+    )  # (nc, y, z)
+    t2 = jnp.min(
+        jnp.where(m[None, :, :, None], t1[:, None], big), axis=2
+    )  # (nc, nc, z)
+    c = jnp.min(
+        jnp.where(m[None, None, :, :], t2[:, :, None, :], big), axis=3
+    )  # (nc, nc, nc) = C[i, j, k]
+    c = c - _COARSE_MARGIN
+    return jnp.transpose(c.reshape(nc, nc * nc), (1, 0))
 
 
 def _one_hot_pair(base: jax.Array, frac: jax.Array, res: int) -> jax.Array:
@@ -189,6 +227,29 @@ def _sample_grad_tile(tt_ref, pts: jax.Array, res: int):
     return value, jnp.concatenate([gx, gy, gz], axis=1)
 
 
+def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int) -> jax.Array:
+    """Piecewise-constant lookup of the coarse culling table; (Q, 1).
+
+    Same one-hot-matmul factorization as :func:`_sample_tile`, but with
+    single-cell one-hots (no interpolation) against the tiny (nc^2, nc)
+    table — roughly an order of magnitude cheaper than a fine sample.
+    """
+    q = pts.shape[0]
+    ci = jnp.clip(jnp.floor((pts + 1.0) * (nc * 0.5)), 0, nc - 1).astype(
+        jnp.int32
+    )
+    cix, ciy, ciz = ci[:, 0:1], ci[:, 1:2], ci[:, 2:3]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (q, nc), 1)
+    oh_x = jnp.where(iota_n == cix, 1.0, 0.0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (q, nc * nc), 1) // nc
+    u = jnp.where(j_idx == ciy, 1.0, 0.0)
+    v_n = jnp.where(iota_n == ciz, 1.0, 0.0)
+    a = u * pltpu.repeat(v_n, nc, axis=1)  # (Q, nc^2)
+    m = jnp.dot(a, ttc_ref[:], preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION)  # (Q, nc)
+    return jnp.sum(m * oh_x, axis=1, keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # sphere-trace march
 # ---------------------------------------------------------------------------
@@ -196,6 +257,7 @@ def _sample_grad_tile(tt_ref, pts: jax.Array, res: int):
 
 def _march_kernel(
     tt_ref,
+    ttc_ref,  # (nc^2, nc) coarse culling table (used when culling)
     dirs_o_ref,  # (1, Q, 3) object-frame ray directions
     dz_ref,  # (1, Q, 1) camera-frame d_z per ray
     tmin_ref,
@@ -208,6 +270,7 @@ def _march_kernel(
     res: int,
     max_steps: int,
     relaxation: float = 1.0,
+    culling: bool = False,
 ):
     sc = scalars_ref[:]
     inv_scale = sc[:, 0:1]
@@ -223,7 +286,50 @@ def _march_kernel(
 
     jk = _jk_iota(dirs_o.shape[0], res)  # hoisted out of the march loop
 
-    if relaxation <= 1.0:
+    if relaxation <= 1.0 and culling:
+        # hierarchical empty-space culling: every step first does a cheap
+        # piecewise-constant lookup of the coarse min-pool lower bound.  If
+        # EVERY active ray in the tile has bound >= threshold*t, no hit is
+        # possible at this sample (fine value >= bound), so the tile steps
+        # by the bound without touching the big fine matmul.  Otherwise one
+        # plain fine step runs for the whole tile.  Bound steps are strictly
+        # smaller than the fine step the plain march would take, so no
+        # surface the plain march would hit is skipped (hit positions can
+        # shift by stepping noise, same class as relaxed tracing).
+        def cond(carry):
+            _, _, active, step = carry
+            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
+
+        def body(carry):
+            t, depth, active, step = carry
+            pts = (origin_o + t * dirs_o) * inv_scale
+            cd = _coarse_lookup(ttc_ref, pts, NC) * scale
+            # 1e-5 floor prevents zero-progress bound steps near t ~ 0
+            near = jnp.sum(
+                active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
+            )
+
+            def fine_step(t, depth, active):
+                dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                hit = jnp.where(dist < threshold * t, 1.0, 0.0)
+                depth = jnp.where(active * hit > 0.0, -t * dz, depth)
+                active = active * (1.0 - hit)
+                t = jnp.where(active > 0.0, t + dist, t)
+                return t, depth, active
+
+            def coarse_step(t, depth, active):
+                return jnp.where(active > 0.0, t + cd, t), depth, active
+
+            t, depth, active = jax.lax.cond(
+                near > 0.0, fine_step, coarse_step, t, depth, active
+            )
+            active = active * jnp.where(t < t_max, 1.0, 0.0)
+            return t, depth, active, step + 1
+
+        _, depth, _, _ = jax.lax.while_loop(
+            cond, body, (t0, jnp.zeros_like(t0), active0, 0)
+        )
+    elif relaxation <= 1.0:
         # plain sphere tracing (exact reference semantics)
         def cond(carry):
             _, _, active, step = carry
@@ -312,7 +418,7 @@ def _untile_image(x: jax.Array, h: int, w: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "threshold", "max_steps", "relaxation",
-                     "interpret"),
+                     "culling", "interpret"),
 )
 def render_depth_pallas_fwd(
     sdf: jax.Array,
@@ -323,6 +429,7 @@ def render_depth_pallas_fwd(
     threshold: float = 0.0,
     max_steps: int = 200,
     relaxation: float = 1.0,
+    culling: bool = True,
     interpret=None,
 ) -> jax.Array:
     """Forward sphere-trace via the Pallas tile kernel; returns (H, W) depth.
@@ -359,16 +466,24 @@ def render_depth_pallas_fwd(
     )
 
     table = sdf_to_table(sdf)
+    culling = culling and relaxation <= 1.0
+    table_c = (
+        coarse_min_table(sdf)
+        if culling
+        else jnp.zeros((NC * NC, NC), dtype)
+    )
     scalars = jnp.stack(
         [inv_scale.astype(dtype), jnp.asarray(threshold, dtype)]
     ).reshape(1, 2)
 
     depth_t = pl.pallas_call(
         functools.partial(_march_kernel, res=res, max_steps=max_steps,
-                          relaxation=relaxation),
+                          relaxation=relaxation, culling=culling),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((res * res, res), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC * NC, NC), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QM, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -389,6 +504,7 @@ def render_depth_pallas_fwd(
         interpret=interpret,
     )(
         table,
+        table_c,
         dirs_t,
         dz_t,
         tmin_t,

@@ -106,8 +106,12 @@ def test_api_render_pallas_gradients_match_xla():
     render_xla = lambda s, p, q, i: render_depth_xla(
         s, p, q, i, camera=CAM, threshold=0.005
     )
+    # culling=False: this test checks VJP exactness, which needs the pallas
+    # forward to take exactly the plain march's steps (culling's stepping
+    # noise at silhouettes is covered by the march parity test)
     render_pl = lambda s, p, q, i: api.render_depth(
-        s, p, q, i, camera=CAM, threshold=0.005, backend="pallas"
+        s, p, q, i, camera=CAM, threshold=0.005, backend="pallas",
+        culling=False,
     )
     args = (POSITION + 0.01, QUAT, INV_SCALE, SDF)
     g_xla = jax.grad(lambda p, q, i, s: loss(render_xla, p, q, i, s),
@@ -143,3 +147,34 @@ def test_pc_loss_pallas_backend_matches_xla():
     g_pl = jax.grad(lambda p: total("pallas", p))(POSITION)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla), rtol=1e-3,
                                atol=1e-4)
+
+def test_coarse_culling_bound_and_parity():
+    """Coarse min-pool lower-bounds the interpolant; culled march matches."""
+    from sdfest_tpu.render.pallas_kernel import NC, coarse_min_table
+    from sdfest_tpu.ops.interpolation import sample_sdf
+
+    rng = np.random.default_rng(3)
+    rough = jnp.asarray(rng.standard_normal((64, 64, 64)).astype(np.float32))
+    # low-pass to get surface-like smoothness while keeping variation
+    k = jnp.ones((5, 5, 5)) / 125.0
+    smooth = jax.scipy.signal.convolve(rough, k, mode="same") * 10.0
+    ttc = coarse_min_table(smooth)
+    c_grid = jnp.transpose(ttc, (1, 0)).reshape(NC, NC, NC)
+    pts = jnp.asarray(
+        rng.uniform(-1 - 1e-6, 1 + 1e-6, (20000, 3)).astype(np.float32)
+    )
+    values = sample_sdf(smooth, pts)
+    ci = jnp.clip(jnp.floor((pts + 1) * NC / 2), 0, NC - 1).astype(int)
+    bound = c_grid[ci[:, 0], ci[:, 1], ci[:, 2]]
+    assert float(jnp.min(values - bound)) >= 0.0
+
+    d_plain = render_depth_pallas_fwd(
+        SDF, POSITION, QUAT, INV_SCALE, CAM, threshold=0.005, culling=False
+    )
+    d_cull = render_depth_pallas_fwd(
+        SDF, POSITION, QUAT, INV_SCALE, CAM, threshold=0.005, culling=True
+    )
+    a, b = np.asarray(d_plain), np.asarray(d_cull)
+    assert ((a > 0) == (b > 0)).mean() > 0.995
+    both = (a > 0) & (b > 0)
+    assert np.abs(a[both] - b[both]).max() < 5e-3
