@@ -266,11 +266,12 @@ def _march_kernel(
     origin_ref,  # (1, 3) object-frame ray origin
     scalars_ref,  # (1, 2): [inv_scale, threshold]
     depth_ref,  # out (1, Q, 1)
-    *,
+    *aux_refs,  # aux=True: t_out, v0, min_dip, v_last, t_last (each (1, Q, 1))
     res: int,
     max_steps: int,
     relaxation: float = 1.0,
     culling: bool = False,
+    aux: bool = False,
 ):
     sc = scalars_ref[:]
     inv_scale = sc[:, 0:1]
@@ -286,6 +287,79 @@ def _march_kernel(
 
     jk = _jk_iota(dirs_o.shape[0], res)  # hoisted out of the march loop
 
+    if aux and (relaxation > 1.0 or not culling):
+        raise ValueError("aux outputs require the culling march variant")
+    if relaxation <= 1.0 and culling and aux:
+        # culling march with ray-corridor tracking for temporal coherence.
+        # Per marched ray it records, alongside the depth:
+        #   t_out    — terminal t (hit t, or t at deactivation),
+        #   v0       — first measured lower bound (at the march start t0),
+        #   min_dip  — min over consecutive samples i of
+        #              (v_i + v_{i+1} - (t_{i+1} - t_i)) / 2, a 1-Lipschitz
+        #              lower bound on the field anywhere on the marched
+        #              segment between samples,
+        #   v_last / t_last — final sample (for the tail clearance
+        #              v_last - (t_max' - t_last) past the last sample).
+        # Both fine values and coarse bounds are valid lower bounds, so the
+        # corridor accounts for bound steps too.
+        def cond(carry):
+            _, _, active, step = carry[:4]
+            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
+
+        def corridor(v, t, active, cor):
+            v_prev, t_prev, min_dip, v0, have = cor
+            dip = (v_prev + v - (t - t_prev)) * 0.5
+            seen = active * have
+            min_dip = jnp.where(seen > 0.0, jnp.minimum(min_dip, dip), min_dip)
+            v0 = jnp.where(active * (1.0 - have) > 0.0, v, v0)
+            v_prev = jnp.where(active > 0.0, v, v_prev)
+            t_prev = jnp.where(active > 0.0, t, t_prev)
+            have = jnp.where(active > 0.0, 1.0, have)
+            return (v_prev, t_prev, min_dip, v0, have)
+
+        def body(carry):
+            t, depth, active, step, *cor = carry
+            cor = tuple(cor)
+            pts = (origin_o + t * dirs_o) * inv_scale
+            cd = _coarse_lookup(ttc_ref, pts, NC) * scale
+            near = jnp.sum(
+                active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
+            )
+
+            def fine_step(t, depth, active, cor):
+                dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                cor = corridor(dist, t, active, cor)
+                hit = jnp.where(dist < threshold * t, 1.0, 0.0)
+                depth = jnp.where(active * hit > 0.0, -t * dz, depth)
+                active = active * (1.0 - hit)
+                t = jnp.where(active > 0.0, t + dist, t)
+                return (t, depth, active) + cor
+
+            def coarse_step(t, depth, active, cor):
+                cor = corridor(cd, t, active, cor)
+                return (
+                    jnp.where(active > 0.0, t + cd, t), depth, active
+                ) + cor
+
+            t, depth, active, *cor = jax.lax.cond(
+                near > 0.0, fine_step, coarse_step, t, depth, active, cor
+            )
+            active = active * jnp.where(t < t_max, 1.0, 0.0)
+            return (t, depth, active, step + 1) + tuple(cor)
+
+        zeros = jnp.zeros_like(t0)
+        cor0 = (zeros, t0, jnp.full_like(t0, 1e9), zeros, zeros)
+        t, depth, _, _, v_prev, t_prev, min_dip, v0, have = jax.lax.while_loop(
+            cond, body, (t0, zeros, active0, 0) + cor0
+        )
+        t_ref, v0_ref, mindip_ref, vlast_ref, tlast_ref = aux_refs
+        t_ref[0] = t
+        v0_ref[0] = jnp.where(have > 0.0, v0, 0.0)
+        mindip_ref[0] = jnp.where(have > 0.0, min_dip, 0.0)
+        vlast_ref[0] = jnp.where(have > 0.0, v_prev, 0.0)
+        tlast_ref[0] = t_prev
+        depth_ref[0] = depth
+        return
     if relaxation <= 1.0 and culling:
         # hierarchical empty-space culling: every step first does a cheap
         # piecewise-constant lookup of the coarse min-pool lower bound.  If
@@ -418,7 +492,7 @@ def _untile_image(x: jax.Array, h: int, w: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "threshold", "max_steps", "relaxation",
-                     "culling", "interpret"),
+                     "culling", "aux", "interpret"),
 )
 def render_depth_pallas_fwd(
     sdf: jax.Array,
@@ -430,13 +504,27 @@ def render_depth_pallas_fwd(
     max_steps: int = 200,
     relaxation: float = 1.0,
     culling: bool = True,
+    t_init=None,
+    skip=None,
+    aux: bool = False,
     interpret=None,
-) -> jax.Array:
+):
     """Forward sphere-trace via the Pallas tile kernel; returns (H, W) depth.
 
     Numerics match :func:`sdfest_tpu.render.xla._render_forward` (same OBB
     test, termination rule and conventions); only the execution strategy
     differs.
+
+    Temporal-coherence hooks (culling variant only):
+
+    - ``t_init`` (H, W): per-ray warm-start distance; rays with ``t_init >=
+      0`` start marching at ``max(t_min, t_init)`` instead of the OBB entry.
+    - ``skip`` (H, W): rays with ``skip > 0`` are not marched (depth 0).
+    - ``aux=True``: additionally return a dict with per-ray corridor data
+      (``t`` terminal distance, ``v0``/``min_dip``/``v_last``/``t_last``
+      clearance bounds — see :func:`_march_kernel`) plus the ray setup
+      (``t0`` actual start, ``t_min``/``t_max`` OBB interval) for warm-start
+      bookkeeping across refinement iterations.
     """
     interpret = _resolve_interpret(interpret)
     res = sdf.shape[0]
@@ -455,18 +543,27 @@ def render_depth_pallas_fwd(
     origin_o = (rot.T @ (-position)).reshape(1, 3)
     dirs_o = dirs @ rot
 
+    t0 = t_min
+    if t_init is not None:
+        t0 = jnp.where(t_init >= 0.0, jnp.maximum(t_min, t_init.astype(dtype)),
+                       t_min)
+    active0 = hit & (t0 < t_max)
+    if skip is not None:
+        active0 = active0 & (skip <= 0.0)
+
     n_tiles = (h // TILE) * (w // TILE)
     dirs_t = _tile_image(dirs_o, h, w).reshape(n_tiles, QM, 3)
     dz_t = _tile_image(dirs[..., 2:3], h, w).reshape(n_tiles, QM, 1)
-    tmin_t = _tile_image(t_min[..., None], h, w).reshape(n_tiles, QM, 1)
+    tmin_t = _tile_image(t0[..., None], h, w).reshape(n_tiles, QM, 1)
     tmax_t = _tile_image(t_max[..., None], h, w).reshape(n_tiles, QM, 1)
-    active0 = hit & (t_min < t_max)
     act_t = _tile_image(active0[..., None].astype(dtype), h, w).reshape(
         n_tiles, QM, 1
     )
 
     table = sdf_to_table(sdf)
     culling = culling and relaxation <= 1.0
+    if aux and not culling:
+        raise ValueError("aux corridor outputs require the culling variant")
     table_c = (
         coarse_min_table(sdf)
         if culling
@@ -476,9 +573,13 @@ def render_depth_pallas_fwd(
         [inv_scale.astype(dtype), jnp.asarray(threshold, dtype)]
     ).reshape(1, 2)
 
-    depth_t = pl.pallas_call(
+    tile_spec = pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tile_shape = jax.ShapeDtypeStruct((n_tiles, QM, 1), dtype)
+    n_out = 6 if aux else 1
+    out = pl.pallas_call(
         functools.partial(_march_kernel, res=res, max_steps=max_steps,
-                          relaxation=relaxation, culling=culling),
+                          relaxation=relaxation, culling=culling, aux=aux),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((res * res, res), lambda t: (0, 0),
@@ -487,20 +588,15 @@ def render_depth_pallas_fwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QM, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile_spec,
+            tile_spec,
+            tile_spec,
+            tile_spec,
             pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, QM, 1), dtype),
+        out_specs=[tile_spec] * n_out,
+        out_shape=[tile_shape] * n_out,
         interpret=interpret,
     )(
         table,
@@ -513,7 +609,20 @@ def render_depth_pallas_fwd(
         origin_o.astype(dtype),
         scalars,
     )
-    return _untile_image(depth_t.reshape(n_tiles * QM), h, w)
+    untile = lambda x: _untile_image(x.reshape(n_tiles * QM), h, w)
+    depth = untile(out[0])
+    if not aux:
+        return depth
+    return depth, {
+        "t": untile(out[1]),
+        "v0": untile(out[2]),
+        "min_dip": untile(out[3]),
+        "v_last": untile(out[4]),
+        "t_last": untile(out[5]),
+        "t0": t0,
+        "t_min": t_min,
+        "t_max": t_max,
+    }
 
 
 # ---------------------------------------------------------------------------
