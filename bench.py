@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--poses", type=int, default=20)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--refine-iters", type=int, default=50)
+    parser.add_argument("--warm-refine", action="store_true",
+                        help="temporal-coherence warm refinement (opt-in, as in the pipeline)")
     args = parser.parse_args()
 
     import jax
@@ -113,25 +115,63 @@ def main():
     )
 
     # refinement: scanned Adam steps from a perturbed start (honest: the
-    # trajectory itself provides distinct states)
+    # trajectory itself provides distinct states).  Mirrors the production
+    # pipeline loop, including temporal-coherence warm rendering on pallas.
     optimizer = optax.adam(1e-3)
+    use_warm = args.warm_refine and backend == "pallas"
+    if use_warm:
+        from sdfest_tpu.render.warm import (
+            init_warm_views,
+            motion_bound,
+            warm_render_step,
+        )
 
     @jax.jit
     def refine(state):
         opt_state = optimizer.init(state)
+        warm0 = {
+            "views": init_warm_views(1, camera.height, camera.width),
+            "prev": {k: state[k] for k in ("p", "q", "scale")},
+        } if use_warm else None
 
-        def step(carry, _):
-            st, os_ = carry
-            l, g = jax.value_and_grad(
-                lambda s: loss_fn(s["p"], s["q"], s["scale"])
-            )(st)
+        def warm_loss_fn(st, warm, it):
+            prev = {
+                "position": warm["prev"]["p"],
+                "orientation": warm["prev"]["q"],
+                "scale": warm["prev"]["scale"],
+                "sdf": sdf,
+            }
+            motion = motion_bound(st["p"], st["q"], st["scale"], sdf, prev)
+            est, new_views = warm_render_step(
+                sdf, st["p"], st["q"], st["scale"],
+                {k: v[0] for k, v in warm["views"].items()},
+                motion, it % 8 == 0, camera=camera, threshold=0.005,
+            )
+            loss = L.depth_l1_loss(target, est) + 3.0 * L.masked_pc_loss(
+                points, pmask, st["p"], st["q"], st["scale"], sdf
+            )
+            new_warm = jax.lax.stop_gradient({
+                "views": {k: v[None] for k, v in new_views.items()},
+                "prev": {k: st[k] for k in ("p", "q", "scale")},
+            })
+            return loss, new_warm
+
+        def step(carry, it):
+            st, os_, warm = carry
+            if use_warm:
+                (l, warm), g = jax.value_and_grad(
+                    warm_loss_fn, has_aux=True)(st, warm, it)
+            else:
+                l, g = jax.value_and_grad(
+                    lambda s: loss_fn(s["p"], s["q"], s["scale"])
+                )(st)
             up, os_ = optimizer.update(g, os_)
             st = optax.apply_updates(st, up)
             st = dict(st, q=st["q"] / jnp.linalg.norm(st["q"]))
-            return (st, os_), l
+            return (st, os_, warm), l
 
-        (st, _), ls = jax.lax.scan(step, (state, opt_state), None,
-                                   length=args.refine_iters)
+        (st, _, _), ls = jax.lax.scan(step, (state, opt_state, warm0),
+                                      jnp.arange(args.refine_iters))
         return st, ls
 
     s0 = {

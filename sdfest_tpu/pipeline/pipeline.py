@@ -140,6 +140,7 @@ class SDFPipeline:
             backend=self.config.get("renderer_backend", "auto"),
             relaxation=self.config.get("relaxation", 1.0),
             culling=self.config.get("coarse_culling", True),
+            bf16=self.config.get("bf16_march", True),
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -298,22 +299,34 @@ class SDFPipeline:
         depth_weight = self.config.get("depth_weight", 1.0)
         pc_weight = self.config.get("pc_weight", 1.0)
         max_iterations = self.config["max_iterations"]
+        use_warm = self._use_temporal_coherence()
+        refresh_k = int(self.config.get("temporal_refresh_interval", 8))
+        n_views = depth_images.shape[0]
+        # zero-sized warm state when disabled (nothing rides the scan carry)
+        hw = (self.camera.height, self.camera.width) if use_warm else (0, 0)
 
-        def view_losses(latent_sdf, position, orientation, scale, view):
+        def view_losses(latent_sdf, position, orientation, scale, view,
+                        view_warm, motion, full_refresh):
             depth_input, pts, pts_mask, cam_pos, cam_quat = view
             q_w2c = quaternion.invert(cam_quat)
             position_c = quaternion.apply(q_w2c, position - cam_pos)
             orientation_c = quaternion.multiply(q_w2c, orientation)
-            depth_estimate = self.render(
-                latent_sdf, position_c, orientation_c, 1.0 / scale
-            )
+            if use_warm:
+                depth_estimate, view_warm = self._render_warm(
+                    latent_sdf, position_c, orientation_c, scale,
+                    view_warm, motion, full_refresh,
+                )
+            else:
+                depth_estimate = self.render(
+                    latent_sdf, position_c, orientation_c, 1.0 / scale
+                )
             loss_depth = losses.depth_l1_loss(depth_input, depth_estimate)
             loss_pc = losses.masked_pc_loss(
                 pts, pts_mask, position_c, orientation_c, scale, latent_sdf
             )
-            return loss_depth, loss_pc, depth_estimate
+            return loss_depth, loss_pc, depth_estimate, view_warm
 
-        def loss_fn(state):
+        def loss_fn(state, warm, iteration):
             norm_orientation = state["orientation"] / jnp.sqrt(
                 jnp.sum(state["orientation"] ** 2)
             )
@@ -321,28 +334,50 @@ class SDFPipeline:
             if not shape_optimization:
                 latent = jax.lax.stop_gradient(latent)
             sdf = self._decode_inline(latent)[0, 0]
+            if use_warm:
+                from sdfest_tpu.render.warm import motion_bound
 
-            def scan_view(carry, view):
+                motion = motion_bound(
+                    state["position"][0], norm_orientation[0],
+                    state["scale"][0], sdf, warm["shared"],
+                )
+                full_refresh = iteration % refresh_k == 0
+            else:
+                motion = jnp.zeros(())
+                full_refresh = jnp.asarray(True)
+
+            def scan_view(carry, view_and_warm):
                 loss_depth, loss_pc = carry
-                ld, lp, depth_estimate = view_losses(
+                view, view_warm = view_and_warm
+                ld, lp, depth_estimate, new_view_warm = view_losses(
                     sdf,
                     state["position"][0],
                     norm_orientation[0],
                     state["scale"][0],
                     view,
+                    view_warm,
+                    motion,
+                    full_refresh,
                 )
-                return (loss_depth + ld, loss_pc + lp), depth_estimate
+                return (loss_depth + ld, loss_pc + lp), (
+                    depth_estimate, new_view_warm
+                )
 
-            (loss_depth, loss_pc), depth_estimates = jax.lax.scan(
-                scan_view,
-                (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
-                (
-                    depth_images,
-                    points,
-                    point_masks,
-                    camera_positions,
-                    camera_orientations,
-                ),
+            (loss_depth, loss_pc), (depth_estimates, new_view_warms) = (
+                jax.lax.scan(
+                    scan_view,
+                    (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+                    (
+                        (
+                            depth_images,
+                            points,
+                            point_masks,
+                            camera_positions,
+                            camera_orientations,
+                        ),
+                        warm["views"],
+                    ),
+                )
             )
             loss = depth_weight * loss_depth + pc_weight * loss_pc
             if point_constraint is not None:
@@ -350,16 +385,29 @@ class SDFPipeline:
                 loss = loss + weight * losses.point_constraint_loss(
                     state["orientation"][0], source, target
                 )
+            new_warm = {
+                "views": new_view_warms,
+                "shared": jax.lax.stop_gradient({
+                    "position": state["position"][0],
+                    "orientation": norm_orientation[0],
+                    "scale": state["scale"][0],
+                    "sdf": sdf,
+                }),
+            }
             aux = {
                 "loss_depth": loss_depth,
                 "loss_pc": loss_pc,
                 "last_depth_estimate": depth_estimates[-1],
+                "warm": jax.lax.stop_gradient(new_warm),
             }
             return loss, aux
 
-        def step(carry, _):
-            state, opt_state, best = carry
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state)
+        def step(carry, iteration):
+            state, opt_state, best, warm = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state, warm, iteration
+            )
+            warm = aux["warm"]
             updates, opt_state = optimizer.update(grads, opt_state)
             state = optax.apply_updates(state, updates)
             # renormalize the quaternion outside the gradient path
@@ -394,16 +442,75 @@ class SDFPipeline:
                 "scale": state["scale"],
                 "latent": state["latent"],
             }
-            return (state, opt_state, best), log
+            return (state, opt_state, best, warm), log
 
         best0 = {
             "inlier_ratio": jnp.asarray(-1.0, dtype=jnp.float32),
             **{k: state[k] for k in ("position", "orientation", "scale", "latent")},
         }
-        (state, _, best), log = jax.lax.scan(
-            step, (state, opt_state, best0), None, length=max_iterations
+        from sdfest_tpu.render.warm import init_warm_views
+
+        warm0 = {
+            "views": init_warm_views(n_views, *hw),
+            "shared": {
+                "position": state["position"][0],
+                "orientation": state["orientation"][0]
+                / jnp.sqrt(jnp.sum(state["orientation"][0] ** 2)),
+                "scale": state["scale"][0],
+                "sdf": jnp.zeros((self.resolution,) * 3, jnp.float32),
+            },
+        }
+        (state, _, best, _), log = jax.lax.scan(
+            step,
+            (state, opt_state, best0, warm0),
+            jnp.arange(max_iterations),
         )
         return state, best, log
+
+    def _use_temporal_coherence(self) -> bool:
+        """Whether refinement renders can use warm-started marching."""
+        from sdfest_tpu.render import resolve_backend
+        from sdfest_tpu.render.pallas_kernel import RES, TILE
+
+        return bool(
+            self.config.get("temporal_coherence", False)
+            and resolve_backend(self.config.get("renderer_backend", "auto"))
+            == "pallas"
+            and self.config.get("relaxation", 1.0) <= 1.0
+            and self.config.get("coarse_culling", True)
+            and self.resolution == RES
+            and self.camera.height % TILE == 0
+            and self.camera.width % TILE == 0
+        )
+
+    def _render_warm(
+        self,
+        latent_sdf: jax.Array,
+        position_c: jax.Array,
+        orientation_c: jax.Array,
+        scale: jax.Array,
+        view_warm: Dict[str, jax.Array],
+        motion: jax.Array,
+        full_refresh: jax.Array,
+    ):
+        """One temporally-coherent refinement render of a view.
+
+        See :mod:`sdfest_tpu.render.warm` for the reuse rules and their
+        soundness argument.
+        """
+        from sdfest_tpu.render.warm import warm_render_step
+
+        return warm_render_step(
+            latent_sdf,
+            position_c,
+            orientation_c,
+            scale,
+            view_warm,
+            motion,
+            full_refresh,
+            camera=self.camera,
+            threshold=self.config["threshold"],
+        )
 
     def _decode_inline(self, latent: jax.Array) -> jax.Array:
         """Decode without the jit wrapper (for use inside traced code)."""

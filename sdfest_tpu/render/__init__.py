@@ -8,5 +8,9 @@
 - :mod:`sdfest_tpu.render.reference` — numpy golden reference for parity
   tests.
 """
-from sdfest_tpu.render.api import render_depth, resolve_backend  # noqa: F401
+from sdfest_tpu.render.api import (  # noqa: F401
+    render_depth,
+    render_depth_warm,
+    resolve_backend,
+)
 from sdfest_tpu.render.reference import render_depth_np  # noqa: F401

@@ -119,10 +119,10 @@ def sample_sdf_masked_extrapolating(
 def _render_pallas(static, sdf, position, orientation, inv_scale):
     from sdfest_tpu.render.pallas_kernel import render_depth_pallas_fwd
 
-    camera, threshold, max_steps, relaxation, culling = static
+    camera, threshold, max_steps, relaxation, culling, bf16 = static
     return render_depth_pallas_fwd(
         sdf, position, orientation, inv_scale, camera, threshold, max_steps,
-        relaxation, culling,
+        relaxation, culling, bf16,
     )
 
 
@@ -164,6 +164,84 @@ def _render_pallas_bwd(static, residuals, grad_depth):
 _render_pallas.defvjp(_render_pallas_fwd, _render_pallas_bwd)
 
 
+# ---------------------------------------------------------------------------
+# temporal-coherence warm rendering (pallas culling variant only)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_pallas_warm(static, sdf, position, orientation, inv_scale,
+                        t_init, skip):
+    from sdfest_tpu.render.pallas_kernel import render_depth_pallas_fwd
+
+    camera, threshold, max_steps = static
+    return render_depth_pallas_fwd(
+        sdf, position, orientation, inv_scale, camera, threshold, max_steps,
+        t_init=t_init, skip=skip, aux=True,
+    )
+
+
+def _render_pallas_warm_fwd(static, sdf, position, orientation, inv_scale,
+                            t_init, skip):
+    depth, aux = _render_pallas_warm(
+        static, sdf, position, orientation, inv_scale, t_init, skip
+    )
+    return (depth, aux), (sdf, position, orientation, inv_scale, depth,
+                          t_init, skip)
+
+
+def _render_pallas_warm_bwd(static, residuals, cotangents):
+    camera = static[0]
+    sdf, position, orientation, inv_scale, depth, t_init, skip = residuals
+    grad_depth, _ = cotangents  # corridor aux is non-differentiable
+    dirs = xla_backend.pixel_directions(camera, sdf.dtype)
+    _, vjp = jax.vjp(
+        lambda s, p, q, i: _surrogate_with_op(s, p, q, i, depth, dirs),
+        sdf,
+        position,
+        orientation,
+        inv_scale,
+    )
+    return vjp(grad_depth) + (jnp.zeros_like(t_init), jnp.zeros_like(skip))
+
+
+_render_pallas_warm.defvjp(_render_pallas_warm_fwd, _render_pallas_warm_bwd)
+
+
+def render_depth_warm(
+    sdf: jax.Array,
+    position: jax.Array,
+    orientation: jax.Array,
+    inv_scale: jax.Array,
+    t_init: jax.Array,
+    skip: jax.Array,
+    camera: Camera,
+    threshold: float = 0.0,
+    max_steps: int = 500,
+):
+    """Depth render with temporal-coherence warm state; pallas-only.
+
+    Same semantics and analytic VJP as :func:`render_depth` on the pallas
+    backend (plain tracing + culling), plus per-ray warm-start/skip inputs
+    and corridor aux outputs (see
+    :func:`sdfest_tpu.render.pallas_kernel.render_depth_pallas_fwd`).
+
+    Returns:
+        (depth (H, W), aux dict).  The aux entries carry no gradients.
+    """
+    static = (camera, float(threshold), int(max_steps))
+    depth, aux = _render_pallas_warm(
+        static,
+        jnp.asarray(sdf),
+        jnp.asarray(position),
+        jnp.asarray(orientation),
+        jnp.asarray(inv_scale),
+        jnp.asarray(t_init),
+        jnp.asarray(skip),
+    )
+    return depth, jax.tree_util.tree_map(jax.lax.stop_gradient, aux)
+
+
 def render_depth(
     sdf: jax.Array,
     position: jax.Array,
@@ -178,6 +256,7 @@ def render_depth(
     backend: str = "auto",
     relaxation: float = 1.0,
     culling: bool = True,
+    bf16: bool = True,
 ) -> jax.Array:
     """Render a depth image of a posed, scaled, voxelized SDF.
 
@@ -206,7 +285,7 @@ def render_depth(
     if backend == "pallas":
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
-            bool(culling),
+            bool(culling), bool(bf16),
         )
         return _render_pallas(
             static,

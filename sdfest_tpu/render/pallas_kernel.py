@@ -55,6 +55,10 @@ _COARSE_MARGIN = 1e-4
 # Mosaic supports DEFAULT (single bf16 pass, ~8e-3 relative — too coarse
 # for SDF values near the surface) or HIGHEST (fp32 contract); use fp32
 _MM_PRECISION = jax.lax.Precision.HIGHEST
+# one-pass-bf16 sampling error bound, relative to the max |value| among the
+# interpolation corners: inputs round to bf16 (rel 2^-9 each), accumulation
+# is fp32, so |error| <= ~4e-3 * max|corner|; 6e-3 adds safety margin
+_BF16_ERR = 6e-3
 
 
 def _resolve_interpret(interpret) -> bool:
@@ -76,14 +80,17 @@ def table_grad_to_sdf(grad_table: jax.Array, res: int = RES) -> jax.Array:
 
 
 def coarse_min_table(sdf: jax.Array, nc: int = NC) -> jax.Array:
-    """Conservative coarse lower-bound table for empty-space culling.
+    """Conservative coarse bound table for culling + mixed-precision march.
 
-    ``C[i, j, k]`` is a lower bound on the trilinear interpolant at every
-    point whose clamped coarse index is ``(i, j, k)``: the minimum over all
-    fine vertices any such interpolation can touch (trilinear values are
-    bounded below by the minimum of their 8 cell corners), minus a small
-    slack (:data:`_COARSE_MARGIN`).  Returned in the contraction layout
-    ``Ttc[j*nc + k, i] = C[i, j, k]`` (matching :func:`sdf_to_table`).
+    Column block ``[:, 0:nc]``: ``C[i, j, k]`` is a lower bound on the
+    trilinear interpolant at every point whose clamped coarse index is
+    ``(i, j, k)``: the minimum over all fine vertices any such interpolation
+    can touch (trilinear values are bounded below by the minimum of their 8
+    cell corners), minus a small slack (:data:`_COARSE_MARGIN`).  Column
+    block ``[:, nc:2nc]``: ``A[i, j, k]``, the maximum |value| over the same
+    window — the scale of the one-pass-bf16 sampling error used by the
+    mixed-precision march.  Layout ``Ttc[j*nc + k, i (| nc + i)]`` (matching
+    :func:`sdf_to_table`).
     """
     res = sdf.shape[0]
     # coarse cell i covers fine coordinates u in [i, i+1] * (res-1)/nc; the
@@ -95,18 +102,17 @@ def coarse_min_table(sdf: jax.Array, nc: int = NC) -> jax.Array:
     )
     v = jnp.arange(res)
     m = (v[None, :] >= lo[:, None]) & (v[None, :] <= hi[:, None])  # (nc, res)
-    big = jnp.asarray(jnp.inf, sdf.dtype)
-    t1 = jnp.min(
-        jnp.where(m[:, :, None, None], sdf[None], big), axis=1
-    )  # (nc, y, z)
-    t2 = jnp.min(
-        jnp.where(m[None, :, :, None], t1[:, None], big), axis=2
-    )  # (nc, nc, z)
-    c = jnp.min(
-        jnp.where(m[None, None, :, :], t2[:, :, None, :], big), axis=3
-    )  # (nc, nc, nc) = C[i, j, k]
-    c = c - _COARSE_MARGIN
-    return jnp.transpose(c.reshape(nc, nc * nc), (1, 0))
+
+    def pool(vol, combine, fill):
+        big = jnp.asarray(fill, sdf.dtype)
+        t1 = combine(jnp.where(m[:, :, None, None], vol[None], big), 1)
+        t2 = combine(jnp.where(m[None, :, :, None], t1[:, None], big), 2)
+        return combine(jnp.where(m[None, None, :, :], t2[:, :, None, :], big), 3)
+
+    c = pool(sdf, jnp.min, jnp.inf) - _COARSE_MARGIN  # (nc, nc, nc)
+    a = pool(jnp.abs(sdf), jnp.max, 0.0)
+    stacked = jnp.concatenate([c, a], axis=0)  # (2*nc, nc, nc) over axis i
+    return jnp.transpose(stacked.reshape(2 * nc, nc * nc), (1, 0))
 
 
 def _one_hot_pair(base: jax.Array, frac: jax.Array, res: int) -> jax.Array:
@@ -188,13 +194,14 @@ def _bases_fracs(pts: jax.Array, res: int):
     return (bx, by, bz), (fx, fy, fz)
 
 
-def _sample_tile(tt_ref, pts: jax.Array, res: int, jk=None) -> jax.Array:
+def _sample_tile(tt_ref, pts: jax.Array, res: int, jk=None,
+                 precision=_MM_PRECISION) -> jax.Array:
     """Trilinear-sample ``pts`` (Q, 3) against the resident table; (Q, 1)."""
     (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
     xx = _one_hot_pair(bx, fx, res)
     a = _outer_lerp(by, fy, bz, fz, res, jk)
     m = jnp.dot(a, tt_ref[:], preferred_element_type=jnp.float32,
-                precision=_MM_PRECISION)  # (Q, res)
+                precision=precision)  # (Q, res)
     return jnp.sum(m * xx, axis=1, keepdims=True)
 
 
@@ -227,12 +234,13 @@ def _sample_grad_tile(tt_ref, pts: jax.Array, res: int):
     return value, jnp.concatenate([gx, gy, gz], axis=1)
 
 
-def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int) -> jax.Array:
-    """Piecewise-constant lookup of the coarse culling table; (Q, 1).
+def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int):
+    """Piecewise-constant lookup of the coarse bound tables; 2 x (Q, 1).
 
     Same one-hot-matmul factorization as :func:`_sample_tile`, but with
-    single-cell one-hots (no interpolation) against the tiny (nc^2, nc)
+    single-cell one-hots (no interpolation) against the tiny (nc^2, 2nc)
     table — roughly an order of magnitude cheaper than a fine sample.
+    Returns (lower bound, max |value| in the cell window).
     """
     q = pts.shape[0]
     ci = jnp.clip(jnp.floor((pts + 1.0) * (nc * 0.5)), 0, nc - 1).astype(
@@ -246,8 +254,10 @@ def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int) -> jax.Array:
     v_n = jnp.where(iota_n == ciz, 1.0, 0.0)
     a = u * pltpu.repeat(v_n, nc, axis=1)  # (Q, nc^2)
     m = jnp.dot(a, ttc_ref[:], preferred_element_type=jnp.float32,
-                precision=_MM_PRECISION)  # (Q, nc)
-    return jnp.sum(m * oh_x, axis=1, keepdims=True)
+                precision=_MM_PRECISION)  # (Q, 2nc)
+    cmin = jnp.sum(m[:, :nc] * oh_x, axis=1, keepdims=True)
+    amax = jnp.sum(m[:, nc:] * oh_x, axis=1, keepdims=True)
+    return cmin, amax
 
 
 # ---------------------------------------------------------------------------
@@ -271,6 +281,7 @@ def _march_kernel(
     max_steps: int,
     relaxation: float = 1.0,
     culling: bool = False,
+    bf16: bool = False,
     aux: bool = False,
 ):
     sc = scalars_ref[:]
@@ -321,19 +332,51 @@ def _march_kernel(
             t, depth, active, step, *cor = carry
             cor = tuple(cor)
             pts = (origin_o + t * dirs_o) * inv_scale
-            cd = _coarse_lookup(ttc_ref, pts, NC) * scale
+            cd, amax = _coarse_lookup(ttc_ref, pts, NC)
+            cd = cd * scale
             near = jnp.sum(
                 active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
             )
 
-            def fine_step(t, depth, active, cor):
-                dist = _sample_tile(tt_ref, pts, res, jk) * scale
+            def exact_step(t, depth, active, cor, dist):
                 cor = corridor(dist, t, active, cor)
                 hit = jnp.where(dist < threshold * t, 1.0, 0.0)
                 depth = jnp.where(active * hit > 0.0, -t * dz, depth)
                 active = active * (1.0 - hit)
                 t = jnp.where(active > 0.0, t + dist, t)
                 return (t, depth, active) + cor
+
+            if bf16:
+                err = _BF16_ERR * amax * scale
+
+                def fine_step(t, depth, active, cor):
+                    d_fast = _sample_tile(
+                        tt_ref, pts, res, jk,
+                        precision=jax.lax.Precision.DEFAULT,
+                    ) * scale
+                    cand = jnp.sum(active * jnp.where(
+                        d_fast < threshold * t + err, 1.0, 0.0))
+
+                    def verified(t, depth, active, cor):
+                        dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                        return exact_step(t, depth, active, cor, dist)
+
+                    def fast(t, depth, active, cor):
+                        d_lo = d_fast - err  # certified lower bound
+                        cor = corridor(d_lo, t, active, cor)
+                        return (
+                            jnp.where(active > 0.0, t + d_lo, t), depth,
+                            active,
+                        ) + cor
+
+                    return jax.lax.cond(
+                        cand > 0.0, verified, fast, t, depth, active, cor
+                    )
+            else:
+
+                def fine_step(t, depth, active, cor):
+                    dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                    return exact_step(t, depth, active, cor, dist)
 
             def coarse_step(t, depth, active, cor):
                 cor = corridor(cd, t, active, cor)
@@ -377,19 +420,55 @@ def _march_kernel(
         def body(carry):
             t, depth, active, step = carry
             pts = (origin_o + t * dirs_o) * inv_scale
-            cd = _coarse_lookup(ttc_ref, pts, NC) * scale
+            cd, amax = _coarse_lookup(ttc_ref, pts, NC)
+            cd = cd * scale
             # 1e-5 floor prevents zero-progress bound steps near t ~ 0
             near = jnp.sum(
                 active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
             )
 
-            def fine_step(t, depth, active):
-                dist = _sample_tile(tt_ref, pts, res, jk) * scale
+            def exact_step(t, depth, active, dist):
                 hit = jnp.where(dist < threshold * t, 1.0, 0.0)
                 depth = jnp.where(active * hit > 0.0, -t * dz, depth)
                 active = active * (1.0 - hit)
                 t = jnp.where(active > 0.0, t + dist, t)
                 return t, depth, active
+
+            if bf16:
+                # mixed-precision fine step: sample with the 1-pass bf16
+                # matmul (~6x cheaper); the certified error bound err =
+                # _BF16_ERR * max|corner values| gates an exact fp32
+                # verification pass — only when some ray's bf16 value is
+                # within err of its termination band can a hit decision
+                # depend on the precision, so hit tests and hit depths stay
+                # exactly fp32 while far steps use the cheap pass (stepping
+                # by d_fast - err <= d_exact: conservative, never skips)
+                err = _BF16_ERR * amax * scale
+
+                def fine_step(t, depth, active):
+                    d_fast = _sample_tile(
+                        tt_ref, pts, res, jk,
+                        precision=jax.lax.Precision.DEFAULT,
+                    ) * scale
+                    cand = jnp.sum(active * jnp.where(
+                        d_fast < threshold * t + err, 1.0, 0.0))
+
+                    def verified(t, depth, active):
+                        dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                        return exact_step(t, depth, active, dist)
+
+                    def fast(t, depth, active):
+                        t = jnp.where(active > 0.0, t + d_fast - err, t)
+                        return t, depth, active
+
+                    return jax.lax.cond(
+                        cand > 0.0, verified, fast, t, depth, active
+                    )
+            else:
+
+                def fine_step(t, depth, active):
+                    dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                    return exact_step(t, depth, active, dist)
 
             def coarse_step(t, depth, active):
                 return jnp.where(active > 0.0, t + cd, t), depth, active
@@ -492,7 +571,7 @@ def _untile_image(x: jax.Array, h: int, w: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "threshold", "max_steps", "relaxation",
-                     "culling", "aux", "interpret"),
+                     "culling", "bf16", "aux", "interpret"),
 )
 def render_depth_pallas_fwd(
     sdf: jax.Array,
@@ -504,6 +583,7 @@ def render_depth_pallas_fwd(
     max_steps: int = 200,
     relaxation: float = 1.0,
     culling: bool = True,
+    bf16: bool = True,
     t_init=None,
     skip=None,
     aux: bool = False,
@@ -567,7 +647,7 @@ def render_depth_pallas_fwd(
     table_c = (
         coarse_min_table(sdf)
         if culling
-        else jnp.zeros((NC * NC, NC), dtype)
+        else jnp.zeros((NC * NC, 2 * NC), dtype)
     )
     scalars = jnp.stack(
         [inv_scale.astype(dtype), jnp.asarray(threshold, dtype)]
@@ -579,12 +659,13 @@ def render_depth_pallas_fwd(
     n_out = 6 if aux else 1
     out = pl.pallas_call(
         functools.partial(_march_kernel, res=res, max_steps=max_steps,
-                          relaxation=relaxation, culling=culling, aux=aux),
+                          relaxation=relaxation, culling=culling,
+                          bf16=bf16 and culling, aux=aux),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((res * res, res), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NC * NC, NC), lambda t: (0, 0),
+            pl.BlockSpec((NC * NC, 2 * NC), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QM, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),

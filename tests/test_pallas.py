@@ -158,8 +158,9 @@ def test_coarse_culling_bound_and_parity():
     # low-pass to get surface-like smoothness while keeping variation
     k = jnp.ones((5, 5, 5)) / 125.0
     smooth = jax.scipy.signal.convolve(rough, k, mode="same") * 10.0
-    ttc = coarse_min_table(smooth)
-    c_grid = jnp.transpose(ttc, (1, 0)).reshape(NC, NC, NC)
+    ttc = coarse_min_table(smooth)  # (NC^2, 2*NC): [min | max-abs] blocks
+    c_grid = jnp.transpose(ttc[:, :NC], (1, 0)).reshape(NC, NC, NC)
+    a_grid = jnp.transpose(ttc[:, NC:], (1, 0)).reshape(NC, NC, NC)
     pts = jnp.asarray(
         rng.uniform(-1 - 1e-6, 1 + 1e-6, (20000, 3)).astype(np.float32)
     )
@@ -167,6 +168,9 @@ def test_coarse_culling_bound_and_parity():
     ci = jnp.clip(jnp.floor((pts + 1) * NC / 2), 0, NC - 1).astype(int)
     bound = c_grid[ci[:, 0], ci[:, 1], ci[:, 2]]
     assert float(jnp.min(values - bound)) >= 0.0
+    # max-abs block upper-bounds |interpolant| (bf16 error scale)
+    amax = a_grid[ci[:, 0], ci[:, 1], ci[:, 2]]
+    assert float(jnp.max(jnp.abs(values) - amax)) <= 0.0
 
     d_plain = render_depth_pallas_fwd(
         SDF, POSITION, QUAT, INV_SCALE, CAM, threshold=0.005, culling=False

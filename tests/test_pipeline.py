@@ -217,3 +217,51 @@ def test_hypothesis_batch_refinement(target):
     assert final_states["position"].shape == (n, 1, 3)
     assert log["loss"].shape == (n, 3)
     assert bool(jnp.all(jnp.isfinite(final_states["position"])))
+
+def test_refinement_temporal_coherence_matches(target):
+    """Warm-started refinement (pallas) tracks the cold path's trajectory."""
+    results = {}
+    for coherent in (False, True):
+        config = _pipeline_config(max_iterations=12)
+        config["renderer_backend"] = "pallas"  # interpret mode on CPU
+        config["temporal_coherence"] = coherent
+        config["temporal_refresh_interval"] = 4
+        pipeline = SDFPipeline(config)
+        assert pipeline._use_temporal_coherence() == coherent
+        from sdfest_tpu.ops import pointset
+
+        depth = target["depth"]
+        points, point_masks = jax.vmap(
+            lambda d: pointset.depth_to_pointcloud_dense(d, pipeline.camera)
+        )(depth[None])
+        state = {
+            "position": (target["position"] + jnp.asarray([0.02, -0.01, 0.02]))[
+                None
+            ],
+            "orientation": jnp.asarray([[0.03, 0.0, 0.0, 1.0]])
+            / jnp.sqrt(1.0 + 0.03**2),
+            "scale": (target["scale"] * 1.1)[None],
+            "latent": target["latent"],
+        }
+        final_state, _, log = pipeline._refine(
+            state,
+            depth[None],
+            points,
+            point_masks,
+            jnp.zeros((1, 3)),
+            jnp.asarray([[0.0, 0.0, 0.0, 1.0]]),
+            True,
+        )
+        losses = np.asarray(log["loss"])
+        assert losses[-1] < losses[0], f"coherent={coherent}: {losses}"
+        results[coherent] = final_state
+
+    # warm-started and cold trajectories must agree to stepping noise
+    for key in ("position", "scale"):
+        np.testing.assert_allclose(
+            np.asarray(results[True][key]),
+            np.asarray(results[False][key]),
+            atol=2e-3,
+            err_msg=f"temporal coherence diverged on {key}",
+        )
+
