@@ -181,6 +181,9 @@ def main():
     }
     st, ls = refine(s0)
     block(ls)
+    # one throwaway timed rep: single calls on the tunneled TPU occasionally
+    # read far off (see NOTES.md); the steady state needs a warm pipe
+    block(refine(dict(s0, p=s0["p"] * 0.9999))[1])
     t0 = time.perf_counter()
     for i in range(max(args.reps, 1)):
         st, ls = refine(dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1))))

@@ -44,8 +44,10 @@ from sdfest_tpu.render.xla import _obb_intersect, pixel_directions
 
 RES = 64
 Q = 256  # queries per tile for the standalone sampling/scatter kernels
-TILE = 8  # pixel tile edge for the march (8x8: isolates slow silhouette
-# "shell" rays, which march ~100+ steps while interior rays finish in ~10)
+TILE = 16  # pixel tile edge for the march.  16x16 = 256 rays per tile:
+# deeper MXU matmuls (M=256) beat the finer early-exit granularity of 8x8
+# once culling + the bf16 fast path cheapen the wasted lock-step rays
+# (measured 20.7 -> 17.3 ms on the bench sphere, 16.1 -> 14.3 ms on a mug)
 QM = TILE * TILE  # rays per march tile
 NC = 16  # coarse empty-space-culling grid resolution per axis
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
