@@ -505,6 +505,110 @@ def _march_kernel(
         _, depth, _, _ = jax.lax.while_loop(
             cond, body, (t0, jnp.zeros_like(t0), active0, 0)
         )
+    elif culling:
+        # relaxed sphere tracing composed with empty-space culling: tiles
+        # whose active rays all have coarse bound >= threshold*t AND whose
+        # pending overshoots are validated by the bound (stepped <= d_prev +
+        # cd implies the unbounding spheres overlap, since cd lower-bounds
+        # the field at the current point) step by the bound; otherwise a
+        # fine relaxed step runs with the usual revert fallback
+        def cond(carry):
+            _, _, active, _, _, step = carry
+            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
+
+        def body(carry):
+            t, depth, active, stepped, d_prev, step = carry
+            pts = (origin_o + t * dirs_o) * inv_scale
+            cd, amax = _coarse_lookup(ttc_ref, pts, NC)
+            cd = cd * scale
+            near = jnp.sum(active * (
+                jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
+                + jnp.where(stepped > d_prev + cd, 1.0, 0.0)
+            ))
+
+            def relaxed_update(t, depth, active, stepped, d_prev,
+                               d_cert, d_step, allow_hit):
+                # d_cert: certified lower bound of the field at t (sphere
+                # radius for the overlap test / safe fallback position);
+                # d_step: value used for the overstep length
+                revert = (
+                    active
+                    * jnp.where(stepped > d_prev + d_cert, 1.0, 0.0)
+                    * jnp.where(stepped > 0.0, 1.0, 0.0)
+                )
+                advance = active * (1.0 - revert)
+                if allow_hit:
+                    hit = advance * jnp.where(
+                        d_cert < threshold * t, 1.0, 0.0
+                    )
+                    depth = jnp.where(hit > 0.0, -t * dz, depth)
+                    active = active * (1.0 - hit)
+                t_safe = t - stepped + d_prev
+                new_t = jnp.where(
+                    revert > 0.0, t_safe, t + relaxation * d_step
+                )
+                t = jnp.where(active > 0.0, new_t, t)
+                stepped = jnp.where(revert > 0.0, 0.0, relaxation * d_step)
+                d_prev = jnp.where(revert > 0.0, d_prev, d_cert)
+                return t, depth, active, stepped, d_prev
+
+            if bf16:
+                err = _BF16_ERR * amax * scale
+
+                def fine_step(t, depth, active, stepped, d_prev):
+                    d_fast = _sample_tile(
+                        tt_ref, pts, res, jk,
+                        precision=jax.lax.Precision.DEFAULT,
+                    ) * scale
+                    cand = jnp.sum(active * jnp.where(
+                        d_fast < threshold * t + err, 1.0, 0.0))
+
+                    def verified(t, depth, active, stepped, d_prev):
+                        d = _sample_tile(tt_ref, pts, res, jk) * scale
+                        return relaxed_update(
+                            t, depth, active, stepped, d_prev, d, d, True
+                        )
+
+                    def fast(t, depth, active, stepped, d_prev):
+                        # no hit possible (d >= d_fast - err >= threshold*t)
+                        return relaxed_update(
+                            t, depth, active, stepped, d_prev,
+                            d_fast - err, d_fast, False,
+                        )
+
+                    return jax.lax.cond(
+                        cand > 0.0, verified, fast,
+                        t, depth, active, stepped, d_prev,
+                    )
+            else:
+
+                def fine_step(t, depth, active, stepped, d_prev):
+                    d = _sample_tile(tt_ref, pts, res, jk) * scale
+                    return relaxed_update(
+                        t, depth, active, stepped, d_prev, d, d, True
+                    )
+
+            def coarse_step(t, depth, active, stepped, d_prev):
+                # bound-validated: any pending overshoot's spheres overlap,
+                # so the position is safe; take a plain bound step
+                t = jnp.where(active > 0.0, t + cd, t)
+                stepped = jnp.where(active > 0.0, 0.0, stepped)
+                d_prev = jnp.where(active > 0.0, 0.0, d_prev)
+                return t, depth, active, stepped, d_prev
+
+            t, depth, active, stepped, d_prev = jax.lax.cond(
+                near > 0.0, fine_step, coarse_step,
+                t, depth, active, stepped, d_prev,
+            )
+            active = active * jnp.where(t < t_max, 1.0, 0.0)
+            return t, depth, active, stepped, d_prev, step + 1
+
+        _, depth, _, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (t0, jnp.zeros_like(t0), active0, jnp.zeros_like(t0),
+             jnp.zeros_like(t0), 0),
+        )
     else:
         # relaxed sphere tracing (Keinert et al. 2014): over-step by the
         # relaxation factor; when consecutive unbounding spheres do not
@@ -643,9 +747,10 @@ def render_depth_pallas_fwd(
     )
 
     table = sdf_to_table(sdf)
-    culling = culling and relaxation <= 1.0
-    if aux and not culling:
-        raise ValueError("aux corridor outputs require the culling variant")
+    if aux and (not culling or relaxation > 1.0):
+        raise ValueError(
+            "aux corridor outputs require the plain culling variant"
+        )
     table_c = (
         coarse_min_table(sdf)
         if culling
