@@ -115,7 +115,9 @@ class Trainer:
     def run(self) -> dict:
         data_loader = self._create_multi_data_loader()
         validation_loaders = self._create_validation_loaders()
-        writer = _make_writer(self._config, self._run_name)
+        from sdfest_tpu.utils.logging import make_logger
+
+        writer = make_logger(self._config, self._run_name)
         validation_iteration = self._init_config.get("validation_iteration", 0)
         checkpoint_iteration = self._init_config.get("checkpoint_iteration", 0)
 
@@ -204,16 +206,6 @@ class _GeneratedLoader:
         self._key, subkey = jax.random.split(self._key)
         return self._dataset.sample_batch(subkey, self._batch_size)
 
-
-def _make_writer(config: dict, run_name: str):
-    if config.get("log_dir") is None:
-        return None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-
-        return SummaryWriter(os.path.join(config["log_dir"], run_name))
-    except ImportError:
-        return None
 
 
 def main() -> None:

@@ -59,7 +59,9 @@ def train(config: dict) -> dict:
     else:
         step_fn = trainer.train_step
 
-    writer = _make_writer(config, run_name)
+    from sdfest_tpu.utils.logging import make_logger
+
+    writer = make_logger(config, run_name)
     model_dir = config.get("model_dir", os.path.join(os.getcwd(), "models", run_name))
     checkpoint_iteration = config.get("checkpoint_iteration", 10000)
     visualization_iteration = config.get("visualization_iteration", 1000)
@@ -97,18 +99,6 @@ def train(config: dict) -> dict:
     if writer is not None:
         writer.close()
     return {"model": model_path, "config": config_path, "state": state}
-
-
-def _make_writer(config: dict, run_name: str):
-    if config.get("log_dir") is None:
-        return None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-
-        return SummaryWriter(os.path.join(config["log_dir"], run_name))
-    except ImportError:
-        print("tensorboard unavailable; scalar logging disabled")
-        return None
 
 
 def _log_visualizations(writer, trainer, state, batch, key, iteration):

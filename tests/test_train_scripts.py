@@ -192,3 +192,18 @@ def test_train_init_nocs_smoke(tmp_path):
     config["init"]["validation_iteration"] = 2
     result = Trainer(config).run()
     assert os.path.isfile(result["model"])
+
+def test_metrics_logger_tensorboard_sink(tmp_path):
+    """MetricsLogger fans out to tensorboard; wandb is optional and guarded."""
+    from sdfest_tpu.utils.logging import MetricsLogger, make_logger
+
+    logger = MetricsLogger({"log_dir": str(tmp_path)}, "run")
+    assert logger.active
+    logger.add_scalar("loss", 1.0, 0)
+    logger.close()
+    assert any(tmp_path.joinpath("run").iterdir())
+
+    # wandb requested but unavailable -> no sink, no crash
+    assert make_logger({"wandb": True}, "run2") is None
+    # nothing configured -> None
+    assert make_logger({}, "run3") is None
