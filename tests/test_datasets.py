@@ -292,3 +292,44 @@ def test_nocs_gts_and_obj_paths(tmp_path):
     assert os.path.isfile(
         real_test._get_obj_path([0, 0, "bowl_white_small_norm"])
     )
+
+
+def test_box_iou_3d_exact_and_symmetric():
+    """Oriented-box 3D IoU: analytic cases + NOCS symmetry maximization."""
+    from scipy.spatial.transform import Rotation
+
+    from sdfest_tpu.pipeline import metrics
+
+    identity = Rotation.identity()
+    e = np.array([1.0, 1.0, 1.0])
+    assert metrics.box_iou_3d(e, np.zeros(3), identity, e, np.zeros(3),
+                              identity) == pytest.approx(1.0)
+    # half-extent shift: inter 0.5, union 1.5
+    assert metrics.box_iou_3d(
+        e, np.zeros(3), identity, e, np.array([0.5, 0, 0]), identity
+    ) == pytest.approx(1.0 / 3.0)
+    assert metrics.box_iou_3d(
+        e, np.zeros(3), identity, e, np.array([2.0, 0, 0]), identity
+    ) == 0.0
+    # unit cube vs itself rotated 45 deg about z: octagonal prism
+    # intersection, volume 2*(sqrt(2)-1) -> IoU = inter / (2 - inter)
+    r45 = Rotation.from_euler("z", 45, degrees=True)
+    inter = 2.0 * (np.sqrt(2.0) - 1.0)
+    assert metrics.box_iou_3d(
+        e, np.zeros(3), identity, e, np.zeros(3), r45
+    ) == pytest.approx(inter / (2.0 - inter), abs=1e-6)
+
+    # correct_thresh integration: z-symmetric box forgives z-rotations
+    elongated = np.array([1.0, 1.0, 2.0])
+    assert metrics.correct_thresh(
+        np.zeros(3), np.zeros(3), identity,
+        Rotation.from_euler("z", 90, degrees=True),
+        extent_gt=elongated, extent_prediction=elongated,
+        iou_3d_threshold=0.99, rotational_symmetry_axis=2,
+    ) == 1
+    assert metrics.correct_thresh(
+        np.zeros(3), np.zeros(3), identity,
+        Rotation.from_euler("x", 90, degrees=True),
+        extent_gt=elongated, extent_prediction=elongated,
+        iou_3d_threshold=0.9,
+    ) == 0
