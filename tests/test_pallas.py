@@ -182,3 +182,37 @@ def test_coarse_culling_bound_and_parity():
     assert ((a > 0) == (b > 0)).mean() > 0.995
     both = (a > 0) & (b > 0)
     assert np.abs(a[both] - b[both]).max() < 5e-3
+
+
+def test_pallas_render_under_vmap_and_grad():
+    """Hypothesis batching: vmap (and vmap-of-grad) over the pallas path.
+
+    The pallas_call batching rule adds a leading grid dimension (per-program
+    while loops, no cross-hypothesis lock-step); refine_batch relies on it.
+    """
+    ps = jnp.tile(POSITION, (3, 1)) + 1e-3 * jnp.arange(3)[:, None]
+    qs = jnp.tile(QUAT, (3, 1))
+    iss = jnp.full((3,), float(INV_SCALE))
+    single = render_depth_pallas_fwd(
+        SDF, ps[1], qs[1], iss[1], CAM, threshold=0.005
+    )
+    batched = jax.vmap(
+        lambda p, q, i: render_depth_pallas_fwd(
+            SDF, p, q, i, CAM, threshold=0.005
+        )
+    )(ps, qs, iss)
+    assert batched.shape == (3,) + single.shape
+    a, b = np.asarray(single), np.asarray(batched[1])
+    assert ((a > 0) == (b > 0)).all()  # identical hit mask
+    np.testing.assert_allclose(b, a, atol=1e-6)  # fusion-level fp noise
+
+    def loss(p, q, i):
+        return jnp.sum(
+            api.render_depth(
+                SDF, p, q, i, camera=CAM, threshold=0.005, backend="pallas"
+            )
+        )
+
+    grads = jax.vmap(jax.grad(loss))(ps, qs, iss)
+    assert grads.shape == (3, 3)
+    assert bool(jnp.all(jnp.isfinite(grads)))
