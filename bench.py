@@ -102,7 +102,9 @@ def main():
     )
 
     target = render(backend)(true_p, q0, jnp.asarray(0.2))
-    points, pmask = pointset.depth_to_pointcloud_dense(target, camera)
+    points, pmask = pointset.depth_to_pointcloud_dense(
+        target, camera, order="tile"
+    )
 
     def loss_fn(p, q, s):
         est = render(backend)(p, q, s)

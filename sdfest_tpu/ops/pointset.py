@@ -56,6 +56,7 @@ def depth_to_pointcloud_dense(
     camera: Camera,
     convention: str = "opengl",
     mask: Optional[jax.Array] = None,
+    order: str = "raster",
 ) -> Tuple[jax.Array, jax.Array]:
     """Lift a depth image to a dense point array with validity mask (jittable).
 
@@ -65,6 +66,12 @@ def depth_to_pointcloud_dense(
         convention: ``"opengl"`` (x right, y up, z back) or ``"opencv"``
             (x right, y down, z forward).
         mask: Optional extra mask; points where ``mask == 0`` are invalidated.
+        order: ``"raster"`` (row-major) or ``"tile"`` (16x16-pixel tile-major
+            when dims allow; a pure permutation of the rows).  Tile order
+            keeps each 256-point block of the array spatially coherent so
+            the Pallas sampling kernels stay on their windowed fast path —
+            use it for point sets consumed by order-invariant reductions
+            (e.g. the pc loss).
     Returns:
         Tuple of points ``(H*W, 3)`` and boolean validity mask ``(H*W,)``.
         Invalid rows contain the lifted coordinates of zero depth (all-zero).
@@ -87,8 +94,18 @@ def depth_to_pointcloud_dense(
     valid = depth_image != 0
     if mask is not None:
         valid = jnp.logical_and(valid, mask != 0)
-    points = jnp.stack([x, y, z_out], axis=-1).reshape(h * w, 3)
-    return points, valid.reshape(h * w)
+    points = jnp.stack([x, y, z_out], axis=-1)
+    if order == "tile":
+        from sdfest_tpu.render.pallas_kernel import TILE, _tile_image
+
+        if h % TILE == 0 and w % TILE == 0:
+            return (
+                _tile_image(points, h, w),
+                _tile_image(valid[..., None], h, w).reshape(h * w),
+            )
+    elif order != "raster":
+        raise ValueError(f"Unsupported point order {order}.")
+    return points.reshape(h * w, 3), valid.reshape(h * w)
 
 
 def depth_to_pointcloud(

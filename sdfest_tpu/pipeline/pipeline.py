@@ -140,7 +140,7 @@ class SDFPipeline:
             backend=self.config.get("renderer_backend", "auto"),
             relaxation=self.config.get("relaxation", 1.0),
             culling=self.config.get("coarse_culling", True),
-            bf16=self.config.get("bf16_march", True),
+            bf16=self.config.get("bf16_march", False),
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -593,9 +593,13 @@ class SDFPipeline:
             training_orientation_distribution,
         )
 
-        # lift all views to dense point clouds once (pc loss inputs)
+        # lift all views to dense point clouds once (pc loss inputs).  Tile
+        # order keeps the Pallas pc-loss sampler on its windowed fast path;
+        # the loss is an order-invariant mean.
         points, point_masks = jax.vmap(
-            lambda d: pointset.depth_to_pointcloud_dense(d, self.camera)
+            lambda d: pointset.depth_to_pointcloud_dense(
+                d, self.camera, order="tile"
+            )
         )(depth_images)
 
         state = {

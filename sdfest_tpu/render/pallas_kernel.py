@@ -49,6 +49,15 @@ TILE = 16  # pixel tile edge for the march.  16x16 = 256 rays per tile:
 # once culling + the bf16 fast path cheapen the wasted lock-step rays
 # (measured 20.7 -> 17.3 ms on the bench sphere, 16.1 -> 14.3 ms on a mug)
 QM = TILE * TILE  # rays per march tile
+WJ = 16  # y-cell window for the windowed fine sample: rays in a march tile
+# are spatially coherent, so the active rays' trilinear y-cells span <= WJ
+# cells in >90% of fine steps (measured on sphere/mug sweeps); those steps
+# slice a (WJ*res, res) table window with pl.ds, shrinking both the lerp-row
+# build and the matmul contraction 4x.  Wide steps fall back to the full
+# table inside a lax.cond.
+_UNROLL = 3  # fine sub-steps per while iteration in the v2 culling march:
+# amortizes the per-iteration scalar-sync/branch overhead (~6-9 us on v5e,
+# larger than the sample matmul) across several dependent samples
 NC = 16  # coarse empty-space-culling grid resolution per axis
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
 # the (clamped) linear extrapolation just outside the volume boundary
@@ -196,6 +205,71 @@ def _bases_fracs(pts: jax.Array, res: int):
     return (bx, by, bz), (fx, fy, fz)
 
 
+def _win_iota(q: int, res: int):
+    """Loop-invariant lane//res field for the (q, WJ*res) windowed rows."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (q, WJ * res), 1)
+    return iota // res
+
+
+def _fine_sample(
+    tt_ref,
+    pts: jax.Array,
+    active: jax.Array,
+    res: int,
+    jk,
+    jkw,
+    precision=_MM_PRECISION,
+) -> jax.Array:
+    """Trilinear sample with a dynamically sliced y-cell window.
+
+    When the active rays' y base cells span <= :data:`WJ` cells (the common
+    case for a spatially coherent march tile), contract against the
+    ``tt_ref[j0*res : (j0+WJ)*res]`` window — a 4x shallower matmul and 4x
+    narrower lerp-row build.  Falls back to the full-table
+    :func:`_sample_tile` inside a ``lax.cond`` otherwise.  Values for
+    in-window rays are the same sums as the full path (up to contraction
+    order); out-of-window *inactive* rays produce 0, which every caller
+    masks with ``active``.
+    """
+    (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
+    byi = by.astype(jnp.int32)
+    act = active > 0.0
+    jlo = jnp.min(jnp.where(act, byi, res))
+    jhi = jnp.max(jnp.where(act, byi, -1))
+    ok = jnp.logical_and(jhi - jlo <= WJ - 2, jhi >= 0)
+    xx = _one_hot_pair(bx, fx, res)
+    bzi = bz.astype(jnp.int32)
+    q = pts.shape[0]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (q, res), 1)
+    v64 = jnp.where(k_iota == bzi, 1.0 - fz, 0.0) + jnp.where(
+        k_iota == bzi + 1, fz, 0.0
+    )
+
+    def win(_):
+        j0 = jnp.minimum(jlo, res - WJ)
+        rel = byi - j0
+        u = jnp.where(jkw == rel, 1.0 - fy, 0.0) + jnp.where(
+            jkw == rel + 1, fy, 0.0
+        )
+        a = u * pltpu.repeat(v64, WJ, axis=1)
+        tw = tt_ref[pl.ds(j0 * res, WJ * res), :]
+        m = jnp.dot(a, tw, preferred_element_type=jnp.float32,
+                    precision=precision)
+        return jnp.sum(m * xx, axis=1, keepdims=True)
+
+    def full(_):
+        j_idx, _ = _jk_iota(q, res) if jk is None else jk
+        u = jnp.where(j_idx == byi, 1.0 - fy, 0.0) + jnp.where(
+            j_idx == byi + 1, fy, 0.0
+        )
+        a = u * pltpu.repeat(v64, res, axis=1)
+        m = jnp.dot(a, tt_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
+        return jnp.sum(m * xx, axis=1, keepdims=True)
+
+    return jax.lax.cond(ok, win, full, 0)
+
+
 def _sample_tile(tt_ref, pts: jax.Array, res: int, jk=None,
                  precision=_MM_PRECISION) -> jax.Array:
     """Trilinear-sample ``pts`` (Q, 3) against the resident table; (Q, 1)."""
@@ -299,6 +373,7 @@ def _march_kernel(
     active0 = active_ref[0]
 
     jk = _jk_iota(dirs_o.shape[0], res)  # hoisted out of the march loop
+    jkw = _win_iota(dirs_o.shape[0], res)  # windowed-row lane field
 
     if aux and (relaxation > 1.0 or not culling):
         raise ValueError("aux outputs require the culling march variant")
@@ -352,15 +427,16 @@ def _march_kernel(
                 err = _BF16_ERR * amax * scale
 
                 def fine_step(t, depth, active, cor):
-                    d_fast = _sample_tile(
-                        tt_ref, pts, res, jk,
+                    d_fast = _fine_sample(
+                        tt_ref, pts, active, res, jk, jkw,
                         precision=jax.lax.Precision.DEFAULT,
                     ) * scale
                     cand = jnp.sum(active * jnp.where(
                         d_fast < threshold * t + err, 1.0, 0.0))
 
                     def verified(t, depth, active, cor):
-                        dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                        dist = _fine_sample(
+                            tt_ref, pts, active, res, jk, jkw) * scale
                         return exact_step(t, depth, active, cor, dist)
 
                     def fast(t, depth, active, cor):
@@ -377,7 +453,8 @@ def _march_kernel(
             else:
 
                 def fine_step(t, depth, active, cor):
-                    dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                    dist = _fine_sample(
+                        tt_ref, pts, active, res, jk, jkw) * scale
                     return exact_step(t, depth, active, cor, dist)
 
             def coarse_step(t, depth, active, cor):
@@ -403,6 +480,101 @@ def _march_kernel(
         mindip_ref[0] = jnp.where(have > 0.0, min_dip, 0.0)
         vlast_ref[0] = jnp.where(have > 0.0, v_prev, 0.0)
         tlast_ref[0] = t_prev
+        depth_ref[0] = depth
+        return
+    if relaxation <= 1.0 and culling and not bf16:
+        # v2 culling march (the default): one fine/coarse decision per while
+        # iteration, then _UNROLL fine sub-steps with only vector-predicated
+        # updates in between.  Measured on v5e, the while-loop machinery
+        # (condition reduce, branch selection, pipeline sync) costs ~6-9 us
+        # per iteration — MORE than the windowed sample matmul itself (fp32
+        # HIGHEST vs 1-pass bf16 matmuls time identically at this size), so
+        # amortizing the scalar syncs across several dependent sub-steps is
+        # the main lever.  Sub-steps reuse the iteration's table window with
+        # a per-ray in-window predicate; rays that drift out of the window
+        # simply stall until the next iteration re-centers it (they stay
+        # active, so the window always re-covers them — no livelock).
+        def cond(carry):
+            _, _, active, step = carry
+            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
+
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (dirs_o.shape[0], res), 1
+        )
+
+        def body(carry):
+            t, depth, active, step = carry
+            pts = (origin_o + t * dirs_o) * inv_scale
+            cd, _ = _coarse_lookup(ttc_ref, pts, NC)
+            cd = cd * scale
+            # 1e-5 floor prevents zero-progress bound steps near t ~ 0
+            near = jnp.sum(
+                active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
+            )
+            byi = _base_frac(pts[:, 1:2], res)[0].astype(jnp.int32)
+            j0, win_ok = _window_bounds(byi, active > 0.0, res)
+            sel = jnp.where(near > 0.0, jnp.where(win_ok, 1, 2), 0)
+
+            def substeps(t, depth, active, sample):
+                for _ in range(_UNROLL):
+                    p = (origin_o + t * dirs_o) * inv_scale
+                    dist, valid = sample(p)
+                    upd = active * valid
+                    hit = upd * jnp.where(dist < threshold * t, 1.0, 0.0)
+                    depth = jnp.where(hit > 0.0, -t * dz, depth)
+                    active = active * (1.0 - hit)
+                    t = jnp.where(active * valid > 0.0, t + dist, t)
+                    # per-sub-step deactivation: a ray past t_max must not
+                    # sample (extrapolated values could false-hit)
+                    active = active * jnp.where(t < t_max, 1.0, 0.0)
+                return t, depth, active
+
+            def coarse_branch(t, depth, active):
+                return jnp.where(active > 0.0, t + cd, t), depth, active
+
+            def fine_win_branch(t, depth, active):
+                tw = tt_ref[pl.ds(j0 * res, WJ * res), :]
+
+                def sample(p):
+                    (bx, by, bz), (fx, fy, fz) = _bases_fracs(p, res)
+                    rel = by.astype(jnp.int32) - j0
+                    valid = jnp.where(
+                        jnp.logical_and(rel >= 0, rel <= WJ - 2), 1.0, 0.0
+                    )
+                    xx = _one_hot_pair(bx, fx, res)
+                    bzi = bz.astype(jnp.int32)
+                    v64 = jnp.where(k_iota == bzi, 1.0 - fz, 0.0) + jnp.where(
+                        k_iota == bzi + 1, fz, 0.0
+                    )
+                    u = jnp.where(jkw == rel, 1.0 - fy, 0.0) + jnp.where(
+                        jkw == rel + 1, fy, 0.0
+                    )
+                    a = u * pltpu.repeat(v64, WJ, axis=1)
+                    m = jnp.dot(a, tw, preferred_element_type=jnp.float32,
+                                precision=_MM_PRECISION)
+                    return (
+                        jnp.sum(m * xx, axis=1, keepdims=True) * scale,
+                        valid,
+                    )
+
+                return substeps(t, depth, active, sample)
+
+            def fine_full_branch(t, depth, active):
+                def sample(p):
+                    return _sample_tile(tt_ref, p, res, jk) * scale, 1.0
+
+                return substeps(t, depth, active, sample)
+
+            t, depth, active = jax.lax.switch(
+                sel, [coarse_branch, fine_win_branch, fine_full_branch],
+                t, depth, active,
+            )
+            active = active * jnp.where(t < t_max, 1.0, 0.0)
+            return t, depth, active, step + 1
+
+        _, depth, _, _ = jax.lax.while_loop(
+            cond, body, (t0, jnp.zeros_like(t0), active0, 0)
+        )
         depth_ref[0] = depth
         return
     if relaxation <= 1.0 and culling:
@@ -448,15 +620,16 @@ def _march_kernel(
                 err = _BF16_ERR * amax * scale
 
                 def fine_step(t, depth, active):
-                    d_fast = _sample_tile(
-                        tt_ref, pts, res, jk,
+                    d_fast = _fine_sample(
+                        tt_ref, pts, active, res, jk, jkw,
                         precision=jax.lax.Precision.DEFAULT,
                     ) * scale
                     cand = jnp.sum(active * jnp.where(
                         d_fast < threshold * t + err, 1.0, 0.0))
 
                     def verified(t, depth, active):
-                        dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                        dist = _fine_sample(
+                            tt_ref, pts, active, res, jk, jkw) * scale
                         return exact_step(t, depth, active, dist)
 
                     def fast(t, depth, active):
@@ -469,7 +642,8 @@ def _march_kernel(
             else:
 
                 def fine_step(t, depth, active):
-                    dist = _sample_tile(tt_ref, pts, res, jk) * scale
+                    dist = _fine_sample(
+                        tt_ref, pts, active, res, jk, jkw) * scale
                     return exact_step(t, depth, active, dist)
 
             def coarse_step(t, depth, active):
@@ -689,7 +863,7 @@ def render_depth_pallas_fwd(
     max_steps: int = 200,
     relaxation: float = 1.0,
     culling: bool = True,
-    bf16: bool = True,
+    bf16: bool = False,
     t_init=None,
     skip=None,
     aux: bool = False,
@@ -824,7 +998,82 @@ def _sample_kernel(tt_ref, pts_ref, mask_ref, out_ref, *, res: int):
 
     @pl.when(jnp.sum(mask) > 0.0)
     def _():
-        out_ref[0] = _sample_tile(tt_ref, pts_ref[0], res) * mask
+        q = pts_ref[0].shape[0]
+        out_ref[0] = _fine_sample(
+            tt_ref, pts_ref[0], mask, res, None, _win_iota(q, res)
+        ) * mask
+
+
+def _window_bounds(byi: jax.Array, act: jax.Array, res: int):
+    """(j0, ok): WJ-cell window start covering the active rows, validity."""
+    jlo = jnp.min(jnp.where(act, byi, res))
+    jhi = jnp.max(jnp.where(act, byi, -1))
+    ok = jnp.logical_and(jhi - jlo <= WJ - 2, jhi >= 0)
+    return jnp.minimum(jlo, res - WJ), ok
+
+
+def _sample_grad_tile_win(tt_ref, pts: jax.Array, active: jax.Array, res: int):
+    """Windowed value + spatial gradient; falls back to the full table.
+
+    Same outputs as :func:`_sample_grad_tile`; the three A-matrix matmuls
+    (value, d/dy, d/dz) share one dynamically sliced table window when the
+    active rows' y-cells span <= :data:`WJ` cells.
+    """
+    (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
+    byi = by.astype(jnp.int32)
+    j0, ok = _window_bounds(byi, active > 0.0, res)
+    xx = _one_hot_pair(bx, fx, res)
+    dxx = _d_one_hot_pair(bx, res)
+    s = (res - 1) * 0.5
+    q = pts.shape[0]
+    bzi = bz.astype(jnp.int32)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (q, res), 1)
+    v64 = jnp.where(k_iota == bzi, 1.0 - fz, 0.0) + jnp.where(
+        k_iota == bzi + 1, fz, 0.0
+    )
+    ones64 = jnp.ones((q, 1), jnp.float32)
+    dv64 = jnp.where(k_iota == bzi, -ones64, 0.0) + jnp.where(
+        k_iota == bzi + 1, ones64, 0.0
+    )
+
+    def emit(m, mdy, mdz):
+        value = jnp.sum(m * xx, axis=1, keepdims=True)
+        gx = jnp.sum(m * dxx, axis=1, keepdims=True) * s
+        gy = jnp.sum(mdy * xx, axis=1, keepdims=True) * s
+        gz = jnp.sum(mdz * xx, axis=1, keepdims=True) * s
+        return value, jnp.concatenate([gx, gy, gz], axis=1)
+
+    def win(_):
+        jw = _win_iota(q, res)
+        rel = byi - j0
+        u = jnp.where(jw == rel, 1.0 - fy, 0.0) + jnp.where(
+            jw == rel + 1, fy, 0.0
+        )
+        du = jnp.where(jw == rel, -1.0, 0.0) + jnp.where(
+            jw == rel + 1, 1.0, 0.0
+        )
+        rv = pltpu.repeat(v64, WJ, axis=1)
+        rdv = pltpu.repeat(dv64, WJ, axis=1)
+        tw = tt_ref[pl.ds(j0 * res, WJ * res), :]
+        mm = lambda a: jnp.dot(a, tw, preferred_element_type=jnp.float32,
+                               precision=_MM_PRECISION)
+        return emit(mm(u * rv), mm(du * rv), mm(u * rdv))
+
+    def full(_):
+        j_idx, _ = _jk_iota(q, res)
+        u = jnp.where(j_idx == byi, 1.0 - fy, 0.0) + jnp.where(
+            j_idx == byi + 1, fy, 0.0
+        )
+        du = jnp.where(j_idx == byi, -1.0, 0.0) + jnp.where(
+            j_idx == byi + 1, 1.0, 0.0
+        )
+        rv = pltpu.repeat(v64, res, axis=1)
+        rdv = pltpu.repeat(dv64, res, axis=1)
+        mm = lambda a: jnp.dot(a, tt_ref[:], preferred_element_type=jnp.float32,
+                               precision=_MM_PRECISION)
+        return emit(mm(u * rv), mm(du * rv), mm(u * rdv))
+
+    return jax.lax.cond(ok, win, full, 0)
 
 
 def _sample_grad_kernel(tt_ref, pts_ref, mask_ref, out_ref, grad_ref, *, res: int):
@@ -834,7 +1083,7 @@ def _sample_grad_kernel(tt_ref, pts_ref, mask_ref, out_ref, grad_ref, *, res: in
 
     @pl.when(jnp.sum(mask) > 0.0)
     def _():
-        value, grad = _sample_grad_tile(tt_ref, pts_ref[0], res)
+        value, grad = _sample_grad_tile_win(tt_ref, pts_ref[0], mask, res)
         out_ref[0] = value * mask
         grad_ref[0] = grad * mask
 
@@ -972,11 +1221,43 @@ def _scatter_kernel(pts_ref, cot_ref, grad_ref, *, res: int):
         pts = pts_ref[0]
         (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
         xx = _one_hot_pair(bx, fx, res)
-        a = _outer_lerp(by, fy, bz, fz, res)
-        grad_ref[:] += jnp.dot(
-            a.T, xx * cot, preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
+        byi = by.astype(jnp.int32)
+        j0, ok = _window_bounds(byi, jnp.abs(cot) > 0.0, res)
+        xc = xx * cot
+        q = pts.shape[0]
+        bzi = bz.astype(jnp.int32)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (q, res), 1)
+        v64 = jnp.where(k_iota == bzi, 1.0 - fz, 0.0) + jnp.where(
+            k_iota == bzi + 1, fz, 0.0
         )
+
+        # windowed transpose-matmul accumulates into a dynamically sliced
+        # row band of the gradient table (rows with zero cotangent
+        # contribute nothing in either branch)
+        @pl.when(ok)
+        def _():
+            jw = _win_iota(q, res)
+            rel = byi - j0
+            u = jnp.where(jw == rel, 1.0 - fy, 0.0) + jnp.where(
+                jw == rel + 1, fy, 0.0
+            )
+            a = u * pltpu.repeat(v64, WJ, axis=1)
+            grad_ref[pl.ds(j0 * res, WJ * res), :] += jnp.dot(
+                a.T, xc, preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION,
+            )
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            j_idx, _ = _jk_iota(q, res)
+            u = jnp.where(j_idx == byi, 1.0 - fy, 0.0) + jnp.where(
+                j_idx == byi + 1, fy, 0.0
+            )
+            a = u * pltpu.repeat(v64, res, axis=1)
+            grad_ref[:] += jnp.dot(
+                a.T, xc, preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION,
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("res", "interpret"))
