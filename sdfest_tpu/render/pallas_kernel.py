@@ -341,7 +341,25 @@ def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int):
 # ---------------------------------------------------------------------------
 
 
-def _march_kernel(
+def _march_kernel(s_ref, *refs, **kwargs):
+    """Prefetch-guarded march: grid steps map to active tiles only.
+
+    ``s_ref`` (scalar prefetch) holds ``[active_count, tile_id_0, ...]``;
+    the call site's index maps route grid step ``t < active_count`` to the
+    ``t``-th active tile and every later step to the last active tile's
+    index — Mosaic elides block DMAs when consecutive grid steps map to the
+    same block, so the tail steps cost only this no-op guard (measured
+    ~2.5 us per skipped tile otherwise, ~3 ms for a mostly-off-screen
+    640x480 grid).  Inactive tiles' output blocks stay uninitialized; the
+    wrapper selects them to zero.
+    """
+
+    @pl.when(pl.program_id(0) < s_ref[0])
+    def _():
+        _march_kernel_body(*refs, **kwargs)
+
+
+def _march_kernel_body(
     tt_ref,
     ttc_ref,  # (nc^2, nc) coarse culling table (used when culling)
     dirs_o_ref,  # (1, Q, 3) object-frame ray directions
@@ -934,33 +952,53 @@ def render_depth_pallas_fwd(
         [inv_scale.astype(dtype), jnp.asarray(threshold, dtype)]
     ).reshape(1, 2)
 
-    tile_spec = pl.BlockSpec((1, QM, 1), lambda t: (t, 0, 0),
-                             memory_space=pltpu.VMEM)
+    # active-tile compaction: grid step t processes the t-th ACTIVE tile
+    # (scalar-prefetched index list); steps past the active count re-map to
+    # the last active tile so Mosaic elides their block DMAs and the guard
+    # in :func:`_march_kernel` makes them ~free.  Inactive tiles' outputs
+    # are uninitialized and selected to their defaults below.
+    act_tile = jnp.any(act_t[:, :, 0] > 0.0, axis=1)
+    count = jnp.sum(act_tile.astype(jnp.int32))
+    tile_order = jnp.argsort(jnp.logical_not(act_tile), stable=True).astype(
+        jnp.int32
+    )
+    last_active = tile_order[jnp.maximum(count - 1, 0)]
+    mapped = jnp.where(jnp.arange(n_tiles) < count, tile_order, last_active)
+    sprefetch = jnp.concatenate([count[None], mapped])
+
+    remap = lambda t, s: (s[1 + t], 0, 0)
+    tile_spec = pl.BlockSpec((1, QM, 1), remap, memory_space=pltpu.VMEM)
     tile_shape = jax.ShapeDtypeStruct((n_tiles, QM, 1), dtype)
     n_out = 6 if aux else 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC * NC, 2 * NC), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QM, 3), remap, memory_space=pltpu.VMEM),
+            tile_spec,
+            tile_spec,
+            tile_spec,
+            tile_spec,
+            pl.BlockSpec((1, 3), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_spec] * n_out,
+    )
     out = pl.pallas_call(
         functools.partial(_march_kernel, res=res, max_steps=max_steps,
                           relaxation=relaxation, culling=culling,
                           bf16=bf16 and culling, aux=aux),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((res * res, res), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NC * NC, 2 * NC), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QM, 3), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            tile_spec,
-            tile_spec,
-            tile_spec,
-            tile_spec,
-            pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[tile_spec] * n_out,
+        grid_spec=grid_spec,
         out_shape=[tile_shape] * n_out,
         interpret=interpret,
     )(
+        sprefetch,
         table,
         table_c,
         dirs_t,
@@ -971,16 +1009,23 @@ def render_depth_pallas_fwd(
         origin_o.astype(dtype),
         scalars,
     )
+    # per-ray mask of tiles the kernel actually wrote
+    written = _untile_image(
+        jnp.broadcast_to(act_tile[:, None], (n_tiles, QM)).reshape(-1), h, w
+    )
     untile = lambda x: _untile_image(x.reshape(n_tiles * QM), h, w)
-    depth = untile(out[0])
+    zeros_if_skipped = lambda x: jnp.where(written, untile(x), 0.0)
+    depth = zeros_if_skipped(out[0])
     if not aux:
         return depth
+    # skipped tiles get the values an all-inactive marched tile would have
+    # produced: t stays at its start, corridor fields zero
     return depth, {
-        "t": untile(out[1]),
-        "v0": untile(out[2]),
-        "min_dip": untile(out[3]),
-        "v_last": untile(out[4]),
-        "t_last": untile(out[5]),
+        "t": jnp.where(written, untile(out[1]), t0),
+        "v0": zeros_if_skipped(out[2]),
+        "min_dip": zeros_if_skipped(out[3]),
+        "v_last": zeros_if_skipped(out[4]),
+        "t_last": jnp.where(written, untile(out[5]), t0),
         "t0": t0,
         "t_min": t_min,
         "t_max": t_max,

@@ -216,3 +216,69 @@ def test_pallas_render_under_vmap_and_grad():
     grads = jax.vmap(jax.grad(loss))(ps, qs, iss)
     assert grads.shape == (3, 3)
     assert bool(jnp.all(jnp.isfinite(grads)))
+
+
+def test_compaction_all_inactive_and_skip():
+    """Active-tile compaction: skipped tiles produce zeros, not garbage."""
+    # object fully behind the camera: zero active tiles
+    behind = jnp.asarray([0.0, 0.0, 0.6], dtype=jnp.float32)
+    d = render_depth_pallas_fwd(SDF, behind, QUAT, INV_SCALE, CAM,
+                                threshold=0.005)
+    assert bool(jnp.all(jnp.isfinite(d))) and float(jnp.abs(d).sum()) == 0.0
+    # aux variant with every ray skipped (temporal-coherence input)
+    skip = jnp.ones((CAM.height, CAM.width), dtype=jnp.float32)
+    d2, aux = render_depth_pallas_fwd(
+        SDF, POSITION, QUAT, INV_SCALE, CAM, threshold=0.005, aux=True,
+        skip=skip,
+    )
+    assert float(jnp.abs(d2).sum()) == 0.0
+    for v in aux.values():
+        assert bool(jnp.all(jnp.isfinite(v)))
+    # skipped rays keep their start distance in the corridor outputs
+    np.testing.assert_allclose(np.asarray(aux["t"]), np.asarray(aux["t0"]))
+
+
+def test_tile_order_pointcloud_is_permutation():
+    """order="tile" is a pure permutation of the raster point rows."""
+    from sdfest_tpu.ops import pointset
+
+    depth = render_depth_xla(
+        SDF, POSITION, QUAT, INV_SCALE, camera=CAM, threshold=0.005
+    )
+    p_r, m_r = pointset.depth_to_pointcloud_dense(depth, CAM)
+    p_t, m_t = pointset.depth_to_pointcloud_dense(depth, CAM, order="tile")
+    assert int(m_r.sum()) == int(m_t.sum())
+    got = np.asarray(p_t[m_t])
+    want = np.asarray(p_r[m_r])
+    got_sorted = got[np.lexsort(got.T)]
+    want_sorted = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got_sorted, want_sorted)
+
+
+def test_windowed_sampler_coherent_and_scattered():
+    """Window fast path (coherent tiles) == fallback path (scattered)."""
+    key = jax.random.PRNGKey(7)
+    # coherent: all points inside a narrow y-slab -> windowed branch
+    base = jax.random.uniform(key, (512, 3), minval=-0.9, maxval=0.9,
+                              dtype=jnp.float32)
+    coherent = base.at[:, 1].set(0.1 + 0.05 * base[:, 1])
+    got = sample_sdf_pallas(SDF, coherent)
+    want = sample_sdf(SDF, coherent)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # scattered: same points shuffled across tiles -> fallback branch
+    perm = jax.random.permutation(jax.random.PRNGKey(8), 512)
+    got_s = sample_sdf_pallas(SDF, base[perm])
+    want_s = sample_sdf(SDF, base[perm])
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-4)
+    # gradients through both regimes
+    for pts in (coherent, base):
+        _, grad = sample_sdf_grad_pallas(SDF, pts)
+        want_grad = jax.vmap(jax.grad(lambda p: sample_sdf(SDF, p[None])[0]))(pts)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(want_grad),
+                                   atol=1e-3)
+        cot = jnp.ones((pts.shape[0],), jnp.float32)
+        got_sc = scatter_sdf_grad_pallas(pts, cot)
+        _, vjp = jax.vjp(lambda s: sample_sdf(s, pts), SDF)
+        (want_sc,) = vjp(cot)
+        np.testing.assert_allclose(np.asarray(got_sc), np.asarray(want_sc),
+                                   atol=1e-3)
