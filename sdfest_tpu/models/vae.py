@@ -216,9 +216,9 @@ class SDFVAE(nn.Module):
 
 def create_vae_from_config(config: Dict[str, Any]) -> SDFVAE:
     """Build an :class:`SDFVAE` from a reference-format VAE config dict."""
-    tsdf = config.get("tsdf", False)
-    if isinstance(tsdf, str):
-        tsdf = False if tsdf.lower() == "false" else float(tsdf)
+    from sdfest_tpu.utils.misc import str_to_tsdf
+
+    tsdf = str_to_tsdf(config.get("tsdf", False))
     return SDFVAE(
         sdf_size=config.get("sdf_size", 64),
         latent_size=config["latent_size"],

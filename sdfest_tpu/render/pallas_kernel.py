@@ -58,6 +58,8 @@ WJ = 16  # y-cell window for the windowed fine sample: rays in a march tile
 _UNROLL = 3  # fine sub-steps per while iteration in the v2 culling march:
 # amortizes the per-iteration scalar-sync/branch overhead (~6-9 us on v5e,
 # larger than the sample matmul) across several dependent samples
+_UNROLL_COARSE = 2  # bound sub-steps per coarse iteration (same
+# overhead-amortization logic; lookups are ~4x cheaper than fine samples)
 NC = 16  # coarse empty-space-culling grid resolution per axis
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
 # the (clamped) linear extrapolation just outside the volume boundary
@@ -548,7 +550,20 @@ def _march_kernel_body(
                 return t, depth, active
 
             def coarse_branch(t, depth, active):
-                return jnp.where(active > 0.0, t + cd, t), depth, active
+                # bound steps are always safe (cd lower-bounds the field),
+                # so extra sub-steps amortize the iteration overhead the
+                # same way fine sub-steps do; a ray whose new bound dips
+                # below the termination band stalls for the next
+                # iteration's fine/coarse decision (no hits ever happen
+                # here, so no t_max re-check is needed)
+                t = jnp.where(active > 0.0, t + cd, t)
+                for _ in range(_UNROLL_COARSE - 1):
+                    p = (origin_o + t * dirs_o) * inv_scale
+                    cd2, _ = _coarse_lookup(ttc_ref, p, NC)
+                    cd2 = cd2 * scale
+                    far = jnp.where(cd2 >= threshold * t + 1e-5, 1.0, 0.0)
+                    t = jnp.where(active * far > 0.0, t + cd2, t)
+                return t, depth, active
 
             def fine_win_branch(t, depth, active):
                 tw = tt_ref[pl.ds(j0 * res, WJ * res), :]
@@ -914,6 +929,10 @@ def render_depth_pallas_fwd(
 
     dtype = jnp.float32
     sdf = sdf.astype(dtype)
+    # NOTE: a fully-tiled prologue (tile dirs once, run the OBB math and
+    # rotation on flat (HW, 3) arrays) was measured SLOWER (+0.7-1 ms):
+    # minor-dim-3 layouts compute at 3/128-lane occupancy; the (H, W)
+    # raster layout keeps the OBB math lane-friendly
     dirs = pixel_directions(camera, dtype)
     scale = 1.0 / inv_scale
     hit, t_min, t_max = _obb_intersect(dirs, position, orientation, scale)

@@ -52,12 +52,13 @@ def _obb_intersect(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Slab test of all rays (origin 0) against the scaled oriented box.
 
-    Returns (hit, t_min, t_max) with shapes (H, W).
+    ``dirs`` may have any leading shape ``(..., 3)``; returns
+    (hit, t_min, t_max) with shape ``(...)``.
     """
     rot = quaternion.to_rotation_matrix(quat)  # columns are the box axes
     axes = rot.T  # (3, 3): axes[i] = rotated e_i
     e = axes @ position  # (3,)
-    f = jnp.einsum("hwc,ac->hwa", dirs, axes)  # (H, W, 3)
+    f = dirs @ axes.T  # (..., 3): per-axis direction components
     parallel = jnp.abs(f) <= 1e-20
     safe_f = jnp.where(parallel, 1.0, f)
     t_1 = (e + scale) / safe_f

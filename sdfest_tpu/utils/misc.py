@@ -36,6 +36,28 @@ def str_to_object(name: str) -> Any:
     return locate(name)
 
 
+def str_to_tsdf(x) -> Any:
+    """Parse a TSDF config value: falsy strings -> False, else a float.
+
+    Capability parity with /root/reference/sdfest/vae/utils.py:85-95 —
+    needed because dotted CLI overrides arrive as strings while YAML
+    configs carry native bools/floats (both are accepted here).
+
+    Args:
+        x: A bool, number, or string containing "false"-like text or a
+            float literal.
+    Returns:
+        False or the truncation distance as float.
+    """
+    if isinstance(x, bool):
+        return False if not x else float(x)
+    if isinstance(x, (int, float)):
+        return float(x)
+    if str(x).lower() in ("no", "false", "f", "n", "0"):
+        return False
+    return float(x)
+
+
 def visualize_sample(sample: dict, show: bool = False, path: Optional[str] = None):
     """Plot a sample's point set with its GT bounding box and object axes.
 
