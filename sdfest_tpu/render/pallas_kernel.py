@@ -977,13 +977,7 @@ def render_depth_pallas_fwd(
     # in :func:`_march_kernel` makes them ~free.  Inactive tiles' outputs
     # are uninitialized and selected to their defaults below.
     act_tile = jnp.any(act_t[:, :, 0] > 0.0, axis=1)
-    count = jnp.sum(act_tile.astype(jnp.int32))
-    tile_order = jnp.argsort(jnp.logical_not(act_tile), stable=True).astype(
-        jnp.int32
-    )
-    last_active = tile_order[jnp.maximum(count - 1, 0)]
-    mapped = jnp.where(jnp.arange(n_tiles) < count, tile_order, last_active)
-    sprefetch = jnp.concatenate([count[None], mapped])
+    sprefetch = _compaction_prefetch(act_tile)
 
     remap = lambda t, s: (s[1 + t], 0, 0)
     tile_spec = pl.BlockSpec((1, QM, 1), remap, memory_space=pltpu.VMEM)
@@ -1056,12 +1050,10 @@ def render_depth_pallas_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _sample_kernel(tt_ref, pts_ref, mask_ref, out_ref, *, res: int):
-    mask = mask_ref[0]
-    out_ref[0] = jnp.zeros_like(out_ref[0])
-
-    @pl.when(jnp.sum(mask) > 0.0)
+def _sample_kernel(s_ref, tt_ref, pts_ref, mask_ref, out_ref, *, res: int):
+    @pl.when(pl.program_id(0) < s_ref[0])
     def _():
+        mask = mask_ref[0]
         q = pts_ref[0].shape[0]
         out_ref[0] = _fine_sample(
             tt_ref, pts_ref[0], mask, res, None, _win_iota(q, res)
@@ -1140,16 +1132,31 @@ def _sample_grad_tile_win(tt_ref, pts: jax.Array, active: jax.Array, res: int):
     return jax.lax.cond(ok, win, full, 0)
 
 
-def _sample_grad_kernel(tt_ref, pts_ref, mask_ref, out_ref, grad_ref, *, res: int):
-    mask = mask_ref[0]
-    out_ref[0] = jnp.zeros_like(out_ref[0])
-    grad_ref[0] = jnp.zeros_like(grad_ref[0])
-
-    @pl.when(jnp.sum(mask) > 0.0)
+def _sample_grad_kernel(s_ref, tt_ref, pts_ref, mask_ref, out_ref, grad_ref,
+                        *, res: int):
+    @pl.when(pl.program_id(0) < s_ref[0])
     def _():
+        mask = mask_ref[0]
         value, grad = _sample_grad_tile_win(tt_ref, pts_ref[0], mask, res)
         out_ref[0] = value * mask
         grad_ref[0] = grad * mask
+
+
+def _compaction_prefetch(act_tile: jax.Array) -> jax.Array:
+    """[count, mapped tile ids...] for active-tile grid compaction.
+
+    Grid step t maps to the t-th active tile; tail steps repeat the last
+    active index so Mosaic elides their block DMAs (consecutive equal
+    indices) and a ``program_id < count`` guard no-ops them.
+    """
+    n = act_tile.shape[0]
+    count = jnp.sum(act_tile.astype(jnp.int32))
+    order = jnp.argsort(jnp.logical_not(act_tile), stable=True).astype(
+        jnp.int32
+    )
+    last = order[jnp.maximum(count - 1, 0)]
+    mapped = jnp.where(jnp.arange(n) < count, order, last)
+    return jnp.concatenate([count[None], mapped])
 
 
 def _pad_points(points, mask, n, q):
@@ -1188,24 +1195,31 @@ def sample_sdf_pallas(
     n = points.shape[0]
     pts, m, n_pad = _pad_points(points, mask, n, Q)
     n_tiles = n_pad // Q
+    m_t = m.reshape(n_tiles, Q, 1)
+    act_tile = jnp.any(m_t[:, :, 0] > 0.0, axis=1)
+    remap = lambda t, s: (s[1 + t], 0, 0)
     out = pl.pallas_call(
         functools.partial(_sample_kernel, res=res),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((res * res, res), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 3), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Q, 3), remap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Q, 1), remap, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, Q, 1), remap,
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, Q, 1), jnp.float32),
         interpret=interpret,
-    )(sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, Q, 3),
-      m.reshape(n_tiles, Q, 1))
-    return out.reshape(n_pad)[:n]
+    )(_compaction_prefetch(act_tile),
+      sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, Q, 3),
+      m_t)
+    # never-visited tiles are uninitialized; their rows are all-masked -> 0
+    row_act = jnp.broadcast_to(act_tile[:, None], (n_tiles, Q)).reshape(n_pad)
+    return jnp.where(row_act, out.reshape(n_pad), 0.0)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1234,31 +1248,37 @@ def sample_sdf_grad_pallas(
     QG = 128
     pts, m, n_pad = _pad_points(points, mask, n, QG)
     n_tiles = n_pad // QG
+    m_t = m.reshape(n_tiles, QG, 1)
+    act_tile = jnp.any(m_t[:, :, 0] > 0.0, axis=1)
+    remap = lambda t, s: (s[1 + t], 0, 0)
     value, grad = pl.pallas_call(
         functools.partial(_sample_grad_kernel, res=res),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((res * res, res), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QG, 3), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QG, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, QG, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QG, 3), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, QG, 3), remap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, QG, 1), remap, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, QG, 1), remap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, QG, 3), remap, memory_space=pltpu.VMEM),
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, QG, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, QG, 3), jnp.float32),
         ),
         interpret=interpret,
-    )(sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, QG, 3),
-      m.reshape(n_tiles, QG, 1))
-    return value.reshape(n_pad)[:n], grad.reshape(n_pad, 3)[:n]
+    )(_compaction_prefetch(act_tile),
+      sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, QG, 3),
+      m_t)
+    row_act = jnp.broadcast_to(act_tile[:, None], (n_tiles, QG)).reshape(n_pad)
+    value = jnp.where(row_act, value.reshape(n_pad), 0.0)
+    grad = jnp.where(row_act[:, None], grad.reshape(n_pad, 3), 0.0)
+    return value[:n], grad[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -1266,11 +1286,13 @@ def sample_sdf_grad_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _scatter_kernel(pts_ref, cot_ref, grad_ref, *, res: int):
+def _scatter_kernel(s_ref, pts_ref, cot_ref, grad_ref, *, res: int):
     """grad_Tt[j*res+k, i] += sum_q A[q, jk] * Xx[q, i] * cot[q].
 
     The transpose of the sampling matmul; sequential grid steps accumulate
-    into the same output block.  Tiles with all-zero cotangents skip.
+    into the same output block.  Grid steps are compacted to tiles with a
+    nonzero cotangent (scalar-prefetched index list); the zero-init at step
+    0 runs unconditionally so an all-zero input still yields a zero grid.
     """
     t = pl.program_id(0)
 
@@ -1280,7 +1302,7 @@ def _scatter_kernel(pts_ref, cot_ref, grad_ref, *, res: int):
 
     cot = cot_ref[0]  # (Q, 1)
 
-    @pl.when(jnp.sum(jnp.abs(cot)) > 0.0)
+    @pl.when(t < s_ref[0])
     def _():
         pts = pts_ref[0]
         (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
@@ -1347,18 +1369,22 @@ def scatter_sdf_grad_pallas(
         cotangents.astype(jnp.float32)
     )
     n_tiles = n_pad // Q
+    cot_t = cot.reshape(n_tiles, Q, 1)
+    act_tile = jnp.any(jnp.abs(cot_t[:, :, 0]) > 0.0, axis=1)
+    remap = lambda t, s: (s[1 + t], 0, 0)
     grad_table = pl.pallas_call(
         functools.partial(_scatter_kernel, res=res),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, Q, 3), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, 1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((res * res, res), lambda t: (0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, Q, 3), remap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Q, 1), remap, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((res * res, res), jnp.float32),
         interpret=interpret,
-    )(pts.reshape(n_tiles, Q, 3), cot.reshape(n_tiles, Q, 1))
+    )(_compaction_prefetch(act_tile), pts.reshape(n_tiles, Q, 3), cot_t)
     return table_grad_to_sdf(grad_table, res)
