@@ -60,6 +60,9 @@ _UNROLL = 3  # fine sub-steps per while iteration in the v2 culling march:
 # larger than the sample matmul) across several dependent samples
 _UNROLL_COARSE = 2  # bound sub-steps per coarse iteration (same
 # overhead-amortization logic; lookups are ~4x cheaper than fine samples)
+_UNROLL_AUX = 2  # sub-steps in the corridor-tracking (aux) march: the five
+# corridor carries raise VMEM pressure, and 3 sub-steps blow the 16 MiB
+# scoped-vmem budget (measured 17.01M)
 NC = 16  # coarse empty-space-culling grid resolution per axis
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
 # the (clamped) linear extrapolation just outside the volume boundary
@@ -397,6 +400,124 @@ def _march_kernel_body(
 
     if aux and (relaxation > 1.0 or not culling):
         raise ValueError("aux outputs require the culling march variant")
+    if relaxation <= 1.0 and culling and aux and not bf16:
+        # v2 (windowed + unrolled) culling march with ray-corridor tracking
+        # for temporal coherence — the default aux path.  Same structure as
+        # the non-aux v2 march below (one coarse/fine/window decision per
+        # while iteration, sub-steps with only vector-predicated updates)
+        # plus the corridor bookkeeping of the bf16 aux variant (see its
+        # docstring for the recorded fields); corridor updates are pure
+        # vector ops so they ride the sub-steps for free.
+        def cond(carry):
+            _, _, active, step = carry[:4]
+            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
+
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (dirs_o.shape[0], res), 1
+        )
+
+        def corridor(v, t, sampled, cor):
+            v_prev, t_prev, min_dip, v0, have = cor
+            dip = (v_prev + v - (t - t_prev)) * 0.5
+            seen = sampled * have
+            min_dip = jnp.where(seen > 0.0, jnp.minimum(min_dip, dip), min_dip)
+            v0 = jnp.where(sampled * (1.0 - have) > 0.0, v, v0)
+            v_prev = jnp.where(sampled > 0.0, v, v_prev)
+            t_prev = jnp.where(sampled > 0.0, t, t_prev)
+            have = jnp.where(sampled > 0.0, 1.0, have)
+            return (v_prev, t_prev, min_dip, v0, have)
+
+        def body(carry):
+            t, depth, active, step, *cor = carry
+            cor = tuple(cor)
+            pts = (origin_o + t * dirs_o) * inv_scale
+            cd, _ = _coarse_lookup(ttc_ref, pts, NC)
+            cd = cd * scale
+            near = jnp.sum(
+                active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
+            )
+            byi = _base_frac(pts[:, 1:2], res)[0].astype(jnp.int32)
+            # no full-table fallback here (unlike the non-aux v2 march):
+            # the five corridor carries leave no VMEM headroom for the
+            # (Q, res^2) full rows, and the window-stall mechanism already
+            # guarantees progress — the window is anchored at the lowest
+            # active y-cell, so at least those rays sample every iteration
+            # and the window walks upward across a wide tile
+            j0, _ = _window_bounds(byi, active > 0.0, res)
+            sel = jnp.where(near > 0.0, 1, 0)
+
+            def substeps(t, depth, active, cor, sample):
+                for _ in range(_UNROLL_AUX):
+                    p = (origin_o + t * dirs_o) * inv_scale
+                    dist, valid = sample(p)
+                    upd = active * valid
+                    cor = corridor(dist, t, upd, cor)
+                    hit = upd * jnp.where(dist < threshold * t, 1.0, 0.0)
+                    depth = jnp.where(hit > 0.0, -t * dz, depth)
+                    active = active * (1.0 - hit)
+                    t = jnp.where(active * valid > 0.0, t + dist, t)
+                    active = active * jnp.where(t < t_max, 1.0, 0.0)
+                return (t, depth, active) + cor
+
+            def coarse_branch(t, depth, active, *cor):
+                cor = corridor(cd, t, active, tuple(cor))
+                t = jnp.where(active > 0.0, t + cd, t)
+                for _ in range(_UNROLL_COARSE - 1):
+                    p = (origin_o + t * dirs_o) * inv_scale
+                    cd2, _ = _coarse_lookup(ttc_ref, p, NC)
+                    cd2 = cd2 * scale
+                    far = jnp.where(cd2 >= threshold * t + 1e-5, 1.0, 0.0)
+                    cor = corridor(cd2, t, active * far, cor)
+                    t = jnp.where(active * far > 0.0, t + cd2, t)
+                return (t, depth, active) + cor
+
+            def fine_win_branch(t, depth, active, *cor):
+                tw = tt_ref[pl.ds(j0 * res, WJ * res), :]
+
+                def sample(p):
+                    (bx, by, bz), (fx, fy, fz) = _bases_fracs(p, res)
+                    rel = by.astype(jnp.int32) - j0
+                    valid = jnp.where(
+                        jnp.logical_and(rel >= 0, rel <= WJ - 2), 1.0, 0.0
+                    )
+                    xx = _one_hot_pair(bx, fx, res)
+                    bzi = bz.astype(jnp.int32)
+                    v64 = jnp.where(k_iota == bzi, 1.0 - fz, 0.0) + jnp.where(
+                        k_iota == bzi + 1, fz, 0.0
+                    )
+                    u = jnp.where(jkw == rel, 1.0 - fy, 0.0) + jnp.where(
+                        jkw == rel + 1, fy, 0.0
+                    )
+                    a = u * pltpu.repeat(v64, WJ, axis=1)
+                    m = jnp.dot(a, tw, preferred_element_type=jnp.float32,
+                                precision=_MM_PRECISION)
+                    return (
+                        jnp.sum(m * xx, axis=1, keepdims=True) * scale,
+                        valid,
+                    )
+
+                return substeps(t, depth, active, tuple(cor), sample)
+
+            t, depth, active, *cor = jax.lax.switch(
+                sel, [coarse_branch, fine_win_branch],
+                t, depth, active, *cor,
+            )
+            active = active * jnp.where(t < t_max, 1.0, 0.0)
+            return (t, depth, active, step + 1) + tuple(cor)
+
+        zeros = jnp.zeros_like(t0)
+        cor0 = (zeros, t0, jnp.full_like(t0, 1e9), zeros, zeros)
+        t, depth, _, _, v_prev, t_prev, min_dip, v0, have = jax.lax.while_loop(
+            cond, body, (t0, zeros, active0, 0) + cor0
+        )
+        t_ref, v0_ref, mindip_ref, vlast_ref, tlast_ref = aux_refs
+        t_ref[0] = t
+        v0_ref[0] = jnp.where(have > 0.0, v0, 0.0)
+        mindip_ref[0] = jnp.where(have > 0.0, min_dip, 0.0)
+        vlast_ref[0] = jnp.where(have > 0.0, v_prev, 0.0)
+        tlast_ref[0] = t_prev
+        depth_ref[0] = depth
+        return
     if relaxation <= 1.0 and culling and aux:
         # culling march with ray-corridor tracking for temporal coherence.
         # Per marched ray it records, alongside the depth:
