@@ -141,11 +141,33 @@ class VAETrainer:
                 threshold=0.01,
             )
             depth = jax.lax.stop_gradient(depth)
-            points, valid = pointset.depth_to_pointcloud_dense(depth, self.camera)
+            # tile order keeps the pallas sampler on its windowed fast path
+            # (the loss is an order-invariant sum)
+            points, valid = pointset.depth_to_pointcloud_dense(
+                depth, self.camera, order="tile"
+            )
             # unscaled pc loss on the reconstruction (vae train.py:29-125)
             obj_points = quaternion.apply(
                 quaternion.invert(quaternion.normalize(quat)), points - p
             )
+            from sdfest_tpu.render import api as render_api
+
+            if (
+                render_api.resolve_backend("auto") == "pallas"
+                and sdf_recon.shape[-1] == 64
+            ):
+                # XLA gathers serialize on TPU (~80 ns/element: 307k points
+                # x batch would dominate the whole step); sample via the
+                # Pallas MXU kernels with the inside-volume mask computed
+                # densely, exactly as the pipeline pc loss does
+                from sdfest_tpu.ops.interpolation import _base_and_frac
+
+                _, _, inside = _base_and_frac(obj_points, sdf_recon.shape[-1])
+                mask = jnp.logical_and(inside, valid)
+                values = render_api.sample_sdf_masked_extrapolating(
+                    sdf_recon, obj_points, mask, backend="pallas"
+                )
+                return jnp.sum(values**2)
             values, _ = sample_sdf_masked(sdf_recon, obj_points)
             return jnp.sum(jnp.where(valid, values**2, 0.0))
 
