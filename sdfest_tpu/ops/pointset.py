@@ -149,7 +149,18 @@ def subsample_masked(
     """Randomly pick ``num_points`` valid points (with replacement if needed).
 
     Jit-friendly fixed-output-size sampling: invalid rows are never selected
-    as long as at least one valid point exists.
+    as long as at least one valid point exists.  Uniform over the valid
+    points via inverse-CDF (cumsum of the mask + searchsorted): independent
+    draws, i.e. with replacement — at the reference's typical ratios
+    (~1k of ~10-30k valid pixels) duplicates are rare, approximating the
+    reference's without-replacement ``random.sample``
+    (dataset_utils.py:47).
+
+    Implementation note (v5e): ``jax.random.categorical`` over the raster
+    materializes a (num_points, M) Gumbel field — 44 ms at M=307k/K=1000;
+    Gumbel/uniform-score ``top_k`` runs fast (~2-5 ms) but its sort
+    expansion takes MINUTES to compile under vmap+grad.  Inverse-CDF costs
+    one cumsum + a vectorized binary search and compiles quickly.
 
     Args:
         points: Shape ``(M, 3)``.
@@ -161,10 +172,14 @@ def subsample_masked(
         indicating whether any valid point existed.
     """
     m = points.shape[0]
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    any_valid = jnp.any(mask)
-    safe_logits = jnp.where(any_valid, logits, jnp.zeros((m,)))
-    idx = jax.random.categorical(key, safe_logits, shape=(num_points,))
+    cnt = jnp.cumsum(mask.astype(jnp.int32))
+    n_valid = cnt[-1]
+    any_valid = n_valid > 0
+    u = jax.random.uniform(key, (num_points,))
+    # target rank in [1, n_valid]; first index whose inclusive count
+    # reaches the rank is a valid row
+    ranks = jnp.floor(u * n_valid).astype(jnp.int32) + 1
+    idx = jnp.clip(jnp.searchsorted(cnt, ranks, side="left"), 0, m - 1)
     return points[idx], any_valid
 
 
