@@ -65,6 +65,53 @@ def _gaussian_kernel(std: float, kernel_size: int) -> np.ndarray:
     return gaussian_filter(impulse, std).astype(np.float32)
 
 
+def _gaussian_kernel_1d(std: float, kernel_size: int) -> np.ndarray:
+    """1D factor of :func:`_gaussian_kernel` (scipy's filter is separable)."""
+    if kernel_size % 2 != 1:
+        raise ValueError("Kernel size should be odd.")
+    from scipy.ndimage import gaussian_filter1d
+
+    impulse = np.zeros(kernel_size)
+    impulse[kernel_size // 2] = 1
+    return gaussian_filter1d(impulse, std).astype(np.float32)
+
+
+def _separable_taps(x: jax.Array, weights: np.ndarray, combine) -> jax.Array:
+    """Apply a separable 2D stencil via static shifted slices (gather-free).
+
+    Equivalent to a SAME zero-padded 2D convolution with
+    ``outer(weights, weights)`` when ``combine`` is weighted-add; the
+    correlation direction matches XLA's conv (the Gaussian taps are
+    symmetric anyway).  Single-channel (1, 1, H, W) conv_general_dilated
+    lowers poorly on TPU; two passes of k static slices are elementwise ops.
+    """
+    k = len(weights)
+    r = k // 2
+    h, w = x.shape
+    xp = jnp.pad(x, ((r, r), (0, 0)))
+    rows = combine(
+        [(weights[i], jax.lax.slice(xp, (i, 0), (i + h, w))) for i in range(k)]
+    )
+    rp = jnp.pad(rows, ((0, 0), (r, r)))
+    return combine(
+        [(weights[i], jax.lax.slice(rp, (0, i), (h, i + w))) for i in range(k)]
+    )
+
+
+def _weighted_sum(terms):
+    out = None
+    for w, t in terms:
+        out = w * t if out is None else out + w * t
+    return out
+
+
+def _any_tap(terms):
+    out = None
+    for _, t in terms:
+        out = t if out is None else jnp.logical_or(out, t)
+    return out
+
+
 def _affine_warp_mask(mask: jax.Array, key: jax.Array) -> jax.Array:
     """Apply a small random affine transform to a binary mask.
 
@@ -89,7 +136,32 @@ def _affine_warp_mask(mask: jax.Array, key: jax.Array) -> jax.Array:
     src_ri = jnp.clip(jnp.round(src_r), 0, h - 1).astype(jnp.int32)
     src_ci = jnp.clip(jnp.round(src_c), 0, w - 1).astype(jnp.int32)
     inside = (src_r >= 0) & (src_r <= h - 1) & (src_c >= 0) & (src_c <= w - 1)
-    warped = mask[src_ri, src_ci]
+    # A per-pixel 2D gather serializes on TPU (~4.6 ms per 640x480 mask);
+    # the warp parameters bound the displacement by a few pixels, so fetch
+    # via two passes of static shifted slices selected by the per-pixel
+    # integer displacement (pure vector ops).  Pass 1 fetches the source
+    # ROW at the destination column, pass 2 the source column; relative to
+    # the direct gather this evaluates the row index at column c instead
+    # of src_c, which differs by at most sin*|src_c - c| <= 0.35 px —
+    # an occasional one-pixel rounding difference in a *stochastic mask
+    # augmentation* (immaterial; the warp itself is random noise).
+    diag = float(np.hypot(cx + 1, cy + 1))
+    d_rows = int(np.ceil(0.01746 * diag + 0.01 * h + 0.001 * diag)) + 1
+    d_cols = int(np.ceil(0.01746 * diag + 0.01 * w + 0.001 * diag)) + 1
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    d_r = src_ri - rows_i
+    d_c = src_ci - cols_i
+    mp = jnp.pad(mask, ((d_rows, d_rows), (0, 0)))
+    tmp = jnp.zeros_like(mask)
+    for dr in range(-d_rows, d_rows + 1):
+        shifted = jax.lax.slice(mp, (d_rows + dr, 0), (d_rows + dr + h, w))
+        tmp = jnp.where(d_r == dr, shifted, tmp)
+    tp = jnp.pad(tmp, ((0, 0), (d_cols, d_cols)))
+    warped = jnp.zeros_like(mask)
+    for dc in range(-d_cols, d_cols + 1):
+        shifted = jax.lax.slice(tp, (0, d_cols + dc), (h, d_cols + dc + w))
+        warped = jnp.where(d_c == dc, shifted, warped)
     return jnp.where(inside, warped, False)
 
 
@@ -138,6 +210,10 @@ class SDFVAEViewDataset:
                 merged["gaussian_noise_kernel_std"],
                 merged["gaussian_noise_kernel_size"],
             )
+        )
+        self._kernel_1d = _gaussian_kernel_1d(
+            merged["gaussian_noise_kernel_std"],
+            merged["gaussian_noise_kernel_size"],
         )
 
     # -- single sample ---------------------------------------------------
@@ -200,20 +276,9 @@ class SDFVAEViewDataset:
                 jax.random.uniform(keys[8], ()) < cfg["gaussian_noise_probability"]
             )
             invalid = depth == 0
-            blurred = jax.lax.conv_general_dilated(
-                depth[None, None],
-                self._kernel[None, None],
-                window_strides=(1, 1),
-                padding="SAME",
-            )[0, 0]
-            touched = (
-                jax.lax.conv_general_dilated(
-                    invalid.astype(jnp.float32)[None, None],
-                    jnp.ones_like(self._kernel)[None, None],
-                    window_strides=(1, 1),
-                    padding="SAME",
-                )[0, 0]
-                > 0
+            blurred = _separable_taps(depth, self._kernel_1d, _weighted_sum)
+            touched = _separable_taps(
+                invalid, np.ones_like(self._kernel_1d), _any_tap
             )
             depth = jnp.where(apply_blur & ~touched, blurred, depth)
 
