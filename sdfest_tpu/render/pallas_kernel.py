@@ -364,24 +364,55 @@ def _march_kernel(s_ref, *refs, **kwargs):
         _march_kernel_body(*refs, **kwargs)
 
 
+def _obb_interval_tile(dirs_o: jax.Array, origin_o: jax.Array, scale):
+    """Per-tile OBB slab test in the object frame; (hit, t_min, t_max).
+
+    Replicates :func:`sdfest_tpu.render.xla._obb_intersect` expression by
+    expression so the in-kernel ray intervals match the XLA-side ones used
+    to build the compaction index (the object-frame direction IS
+    ``dirs @ axes.T`` and ``e = axes @ position = -origin_o``).  Computing
+    this in-kernel (once per tile, ~30 vector ops on (Q, 3)) removes three
+    per-pose tiled operands and their transpose/copy chains from the XLA
+    prologue.
+    """
+    e = -origin_o  # (1, 3)
+    f = dirs_o  # (Q, 3)
+    parallel = jnp.abs(f) <= 1e-20
+    safe_f = jnp.where(parallel, 1.0, f)
+    t_1 = (e + scale) / safe_f
+    t_2 = (e - scale) / safe_f
+    lo = jnp.where(parallel, -jnp.inf, jnp.minimum(t_1, t_2))
+    hi = jnp.where(parallel, jnp.inf, jnp.maximum(t_1, t_2))
+    t_min = jnp.maximum(jnp.max(lo, axis=1, keepdims=True), -1e-10)
+    t_max = jnp.min(hi, axis=1, keepdims=True)
+    miss_parallel = jnp.max(
+        jnp.where(parallel & (jnp.abs(e) > scale), 1.0, 0.0),
+        axis=1,
+        keepdims=True,
+    )
+    hit = (
+        (1.0 - miss_parallel)
+        * jnp.where(t_min <= t_max, 1.0, 0.0)
+        * jnp.where(t_max >= 0.0, 1.0, 0.0)
+    )
+    return hit, jnp.maximum(t_min, 0.0), t_max
+
+
 def _march_kernel_body(
     tt_ref,
     ttc_ref,  # (nc^2, nc) coarse culling table (used when culling)
     dirs_o_ref,  # (1, Q, 3) object-frame ray directions
     dz_ref,  # (1, Q, 1) camera-frame d_z per ray
-    tmin_ref,
-    tmax_ref,
-    active_ref,  # (1, Q, 1) float 1/0
     origin_ref,  # (1, 3) object-frame ray origin
     scalars_ref,  # (1, 2): [inv_scale, threshold]
-    depth_ref,  # out (1, Q, 1)
-    *aux_refs,  # aux=True: t_out, v0, min_dip, v_last, t_last (each (1, Q, 1))
+    *rest_refs,  # warm: t_init, skip inputs; then depth out (+ aux outs)
     res: int,
     max_steps: int,
     relaxation: float = 1.0,
     culling: bool = False,
     bf16: bool = False,
     aux: bool = False,
+    warm: bool = False,
 ):
     sc = scalars_ref[:]
     inv_scale = sc[:, 0:1]
@@ -390,10 +421,21 @@ def _march_kernel_body(
     dirs_o = dirs_o_ref[0]
     origin_o = origin_ref[:]
     dz = dz_ref[0]
-    t0 = tmin_ref[0]
-    t_max = tmax_ref[0]
+    if warm:
+        tinit_ref, skip_ref, depth_ref, *aux_refs = rest_refs
+    else:
+        tinit_ref, skip_ref = None, None
+        depth_ref, *aux_refs = rest_refs
+
+    hit, t_min, t_max = _obb_interval_tile(dirs_o, origin_o, scale)
+    t0 = t_min
+    if warm:
+        t_init = tinit_ref[0]
+        t0 = jnp.where(t_init >= 0.0, jnp.maximum(t_min, t_init), t_min)
     # float mask: Mosaic cannot carry i1 vectors through scf.while
-    active0 = active_ref[0]
+    active0 = hit * jnp.where(t0 < t_max, 1.0, 0.0)
+    if warm:
+        active0 = active0 * jnp.where(skip_ref[0] <= 0.0, 1.0, 0.0)
 
     jk = _jk_iota(dirs_o.shape[0], res)  # hoisted out of the march loop
     jkw = _win_iota(dirs_o.shape[0], res)  # windowed-row lane field
@@ -1062,21 +1104,19 @@ def render_depth_pallas_fwd(
     dirs_o = dirs @ rot
 
     t0 = t_min
-    if t_init is not None:
+    warm = t_init is not None or skip is not None
+    if t_init is None:
+        t_init = jnp.full((h, w), -1.0, dtype)
+    if skip is None:
+        skip = jnp.zeros((h, w), dtype)
+    if warm:
         t0 = jnp.where(t_init >= 0.0, jnp.maximum(t_min, t_init.astype(dtype)),
                        t_min)
-    active0 = hit & (t0 < t_max)
-    if skip is not None:
-        active0 = active0 & (skip <= 0.0)
+    active0 = hit & (t0 < t_max) & (skip <= 0.0)
 
     n_tiles = (h // TILE) * (w // TILE)
     dirs_t = _tile_image(dirs_o, h, w).reshape(n_tiles, QM, 3)
     dz_t = _tile_image(dirs[..., 2:3], h, w).reshape(n_tiles, QM, 1)
-    tmin_t = _tile_image(t0[..., None], h, w).reshape(n_tiles, QM, 1)
-    tmax_t = _tile_image(t_max[..., None], h, w).reshape(n_tiles, QM, 1)
-    act_t = _tile_image(active0[..., None].astype(dtype), h, w).reshape(
-        n_tiles, QM, 1
-    )
 
     table = sdf_to_table(sdf)
     if aux and (not culling or relaxation > 1.0):
@@ -1096,14 +1136,31 @@ def render_depth_pallas_fwd(
     # (scalar-prefetched index list); steps past the active count re-map to
     # the last active tile so Mosaic elides their block DMAs and the guard
     # in :func:`_march_kernel` makes them ~free.  Inactive tiles' outputs
-    # are uninitialized and selected to their defaults below.
-    act_tile = jnp.any(act_t[:, :, 0] > 0.0, axis=1)
+    # are uninitialized and selected to their defaults below.  The tile
+    # activity reduces the raster-layout mask directly (windowed reduce, no
+    # materialized tiled copy); the kernel re-derives the per-ray ray
+    # intervals itself (:func:`_obb_interval_tile`), so t0/t_max/active
+    # never ship as tiled operands.
+    act_tile = jnp.any(
+        active0.reshape(h // TILE, TILE, w // TILE, TILE), axis=(1, 3)
+    ).reshape(n_tiles)
     sprefetch = _compaction_prefetch(act_tile)
 
     remap = lambda t, s: (s[1 + t], 0, 0)
     tile_spec = pl.BlockSpec((1, QM, 1), remap, memory_space=pltpu.VMEM)
     tile_shape = jax.ShapeDtypeStruct((n_tiles, QM, 1), dtype)
     n_out = 6 if aux else 1
+    warm_specs = []
+    warm_args = []
+    if warm:
+        tinit_t = _tile_image(t_init.astype(dtype)[..., None], h, w).reshape(
+            n_tiles, QM, 1
+        )
+        skip_t = _tile_image(skip.astype(dtype)[..., None], h, w).reshape(
+            n_tiles, QM, 1
+        )
+        warm_specs = [tile_spec, tile_spec]
+        warm_args = [tinit_t, skip_t]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -1114,20 +1171,17 @@ def render_depth_pallas_fwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QM, 3), remap, memory_space=pltpu.VMEM),
             tile_spec,
-            tile_spec,
-            tile_spec,
-            tile_spec,
             pl.BlockSpec((1, 3), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + warm_specs,
         out_specs=[tile_spec] * n_out,
     )
     out = pl.pallas_call(
         functools.partial(_march_kernel, res=res, max_steps=max_steps,
                           relaxation=relaxation, culling=culling,
-                          bf16=bf16 and culling, aux=aux),
+                          bf16=bf16 and culling, aux=aux, warm=warm),
         grid_spec=grid_spec,
         out_shape=[tile_shape] * n_out,
         interpret=interpret,
@@ -1137,11 +1191,9 @@ def render_depth_pallas_fwd(
         table_c,
         dirs_t,
         dz_t,
-        tmin_t,
-        tmax_t,
-        act_t,
         origin_o.astype(dtype),
         scalars,
+        *warm_args,
     )
     # per-ray mask of tiles the kernel actually wrote
     written = _untile_image(
