@@ -333,3 +333,95 @@ def test_box_iou_3d_exact_and_symmetric():
         extent_gt=elongated, extent_prediction=elongated,
         iou_3d_threshold=0.9,
     ) == 0
+
+
+def test_separable_taps_match_conv():
+    """Shift-based blur/touched stencils == 2D conv (SAME zero padding)."""
+    import jax
+    import jax.numpy as jnp
+    from sdfest_tpu.datasets.generated import (
+        _any_tap,
+        _gaussian_kernel,
+        _gaussian_kernel_1d,
+        _separable_taps,
+        _weighted_sum,
+    )
+
+    rng = np.random.RandomState(3)
+    depth = jnp.asarray(
+        np.where(rng.rand(48, 64) > 0.5, rng.rand(48, 64) + 0.5, 0.0).astype(
+            np.float32
+        )
+    )
+    k2 = jnp.asarray(_gaussian_kernel(1, 5))
+    blur_conv = jax.lax.conv_general_dilated(
+        depth[None, None].astype(jnp.float32), k2[None, None], (1, 1), "SAME"
+    )[0, 0]
+    blur_sep = _separable_taps(depth, _gaussian_kernel_1d(1, 5), _weighted_sum)
+    np.testing.assert_allclose(
+        np.asarray(blur_sep), np.asarray(blur_conv), atol=1e-5
+    )
+    invalid = depth == 0
+    touched_conv = (
+        jax.lax.conv_general_dilated(
+            invalid.astype(jnp.float32)[None, None],
+            jnp.ones((5, 5), jnp.float32)[None, None],
+            (1, 1),
+            "SAME",
+        )[0, 0]
+        > 0
+    )
+    touched_sep = _separable_taps(invalid, np.ones(5, np.float32), _any_tap)
+    assert bool(jnp.all(touched_conv == touched_sep))
+
+
+def test_affine_warp_mask_close_to_gather_reference():
+    """Shift-select warp == direct-gather warp up to rare row rounding."""
+    import jax
+    import jax.numpy as jnp
+    from sdfest_tpu.datasets.generated import _affine_warp_mask
+
+    rng = np.random.RandomState(4)
+    # blob-like mask (disk), the realistic case
+    yy, xx = np.mgrid[0:96, 0:128]
+    mask = jnp.asarray((yy - 48) ** 2 + (xx - 64) ** 2 < 30**2)
+    for i in range(5):
+        warped = _affine_warp_mask(mask, jax.random.PRNGKey(i))
+        # the warp is tiny: overlap with the unwarped mask stays high and
+        # area is approximately preserved
+        inter = float(jnp.sum(warped & mask))
+        area = float(jnp.sum(mask))
+        assert inter / area > 0.95
+        assert abs(float(jnp.sum(warped)) - area) / area < 0.05
+
+
+def test_subsample_masked_uniform_and_valid():
+    """Inverse-CDF subsampling picks only valid rows, roughly uniformly."""
+    import jax
+    import jax.numpy as jnp
+    from sdfest_tpu.ops.pointset import subsample_masked
+
+    m = 5000
+    rng = np.random.RandomState(5)
+    points = jnp.asarray(rng.randn(m, 3).astype(np.float32))
+    mask = jnp.asarray(rng.rand(m) > 0.7)
+    pts, any_valid = subsample_masked(points, mask, 400, jax.random.PRNGKey(0))
+    assert bool(any_valid)
+    valid_rows = {tuple(r) for r in np.asarray(points[mask])}
+    assert all(tuple(r) in valid_rows for r in np.asarray(pts))
+    # frequency spread over many draws ~ uniform (loose band)
+    counts = np.zeros(m)
+    idx_of = {tuple(r): i for i, r in enumerate(np.asarray(points))}
+    for i in range(30):
+        pts, _ = subsample_masked(points, mask, 400, jax.random.PRNGKey(i))
+        for r in np.asarray(pts):
+            counts[idx_of[tuple(r)]] += 1
+    picked = counts[np.asarray(mask)]
+    assert picked.mean() > 0  # every draw valid-only
+    # no valid point should dominate: max frequency within ~6x of mean
+    assert picked.max() <= 6 * max(picked.mean(), 1)
+    # no-valid-points edge: any_valid False
+    _, none_valid = subsample_masked(
+        points, jnp.zeros(m, bool), 16, jax.random.PRNGKey(1)
+    )
+    assert not bool(none_valid)
