@@ -401,8 +401,10 @@ def _obb_interval_tile(dirs_o: jax.Array, origin_o: jax.Array, scale):
 def _march_kernel_body(
     tt_ref,
     ttc_ref,  # (nc^2, nc) coarse culling table (used when culling)
-    dirs_o_ref,  # (1, Q, 3) object-frame ray directions
-    dz_ref,  # (1, Q, 1) camera-frame d_z per ray
+    dx_ref,  # (1, Q, 1) camera-frame ray direction x (camera-constant)
+    dy_ref,  # (1, Q, 1) camera-frame ray direction y (camera-constant)
+    dz_ref,  # (1, Q, 1) camera-frame d_z per ray (camera-constant)
+    rot_ref,  # (3, 3) object rotation matrix
     origin_ref,  # (1, 3) object-frame ray origin
     scalars_ref,  # (1, 2): [inv_scale, threshold]
     *rest_refs,  # warm: t_init, skip inputs; then depth out (+ aux outs)
@@ -418,9 +420,19 @@ def _march_kernel_body(
     inv_scale = sc[:, 0:1]
     threshold = sc[:, 1:2]
     scale = 1.0 / inv_scale
-    dirs_o = dirs_o_ref[0]
     origin_o = origin_ref[:]
     dz = dz_ref[0]
+    # rotate the camera-constant ray directions into the object frame once
+    # per tile: dirs_o[q, a] = sum_c dirs[q, c] * rot[c, a].  The camera
+    # direction planes never change with the pose, so the XLA prologue's
+    # per-pose (H, W, 3) rotation + tile transpose disappears (XLA hoists
+    # the constant tiled planes out of refinement scans).
+    rot = rot_ref[:]
+    dirs_o = (
+        dx_ref[0] * rot[0:1, :]
+        + dy_ref[0] * rot[1:2, :]
+        + dz * rot[2:3, :]
+    )
     if warm:
         tinit_ref, skip_ref, depth_ref, *aux_refs = rest_refs
     else:
@@ -1101,7 +1113,6 @@ def render_depth_pallas_fwd(
     hit, t_min, t_max = _obb_intersect(dirs, position, orientation, scale)
     rot = quaternion.to_rotation_matrix(orientation)
     origin_o = (rot.T @ (-position)).reshape(1, 3)
-    dirs_o = dirs @ rot
 
     t0 = t_min
     warm = t_init is not None or skip is not None
@@ -1114,8 +1125,11 @@ def render_depth_pallas_fwd(
                        t_min)
     active0 = hit & (t0 < t_max) & (skip <= 0.0)
 
+    # camera-constant direction planes, tiled once (loop-invariant in
+    # refinement scans; the kernel rotates them into the object frame)
     n_tiles = (h // TILE) * (w // TILE)
-    dirs_t = _tile_image(dirs_o, h, w).reshape(n_tiles, QM, 3)
+    dx_t = _tile_image(dirs[..., 0:1], h, w).reshape(n_tiles, QM, 1)
+    dy_t = _tile_image(dirs[..., 1:2], h, w).reshape(n_tiles, QM, 1)
     dz_t = _tile_image(dirs[..., 2:3], h, w).reshape(n_tiles, QM, 1)
 
     table = sdf_to_table(sdf)
@@ -1169,8 +1183,11 @@ def render_depth_pallas_fwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NC * NC, 2 * NC), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QM, 3), remap, memory_space=pltpu.VMEM),
             tile_spec,
+            tile_spec,
+            tile_spec,
+            pl.BlockSpec((3, 3), lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda t, s: (0, 0),
@@ -1189,8 +1206,10 @@ def render_depth_pallas_fwd(
         sprefetch,
         table,
         table_c,
-        dirs_t,
+        dx_t,
+        dy_t,
         dz_t,
+        rot.astype(dtype),
         origin_o.astype(dtype),
         scalars,
         *warm_args,
