@@ -625,6 +625,9 @@ class SDFPipeline:
             with open(log_path, "wb") as f:
                 pickle.dump({"config": _plain_config(self.config), "log": log_np}, f)
 
+        if visualize:
+            self._visualize_optimization(state, depth_images, log)
+
         if self.result_selection_strategy == "last_iteration":
             chosen = state
         elif self.result_selection_strategy == "best_inlier_ratio":
@@ -640,6 +643,54 @@ class SDFPipeline:
             chosen["scale"],
             chosen["latent"],
         )
+
+    def _visualize_optimization(
+        self, state: Dict[str, jax.Array], depth_images: jax.Array, log
+    ) -> None:
+        """Save a figure of the optimization (headless counterpart of the
+        reference's live matplotlib view, simple_setup.py:386-568):
+        input depth, final estimated depth, depth error, and the loss /
+        inlier-ratio trajectories.
+
+        Written to ``visualization_<timestamp>.png`` in the working
+        directory (override with config key ``visualization_path``).
+        """
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        sdf = self._decode(state["latent"])[0, 0]
+        est = self.render(
+            sdf,
+            state["position"][0],
+            state["orientation"][0],
+            1.0 / state["scale"][0],
+        )
+        inp = np.asarray(depth_images[-1])
+        est = np.asarray(est)
+        fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+        im0 = axes[0, 0].imshow(inp)
+        axes[0, 0].set_title("input depth")
+        fig.colorbar(im0, ax=axes[0, 0])
+        im1 = axes[0, 1].imshow(est)
+        axes[0, 1].set_title("estimated depth")
+        fig.colorbar(im1, ax=axes[0, 1])
+        both = (inp > 0) & (est > 0)
+        im2 = axes[1, 0].imshow(np.where(both, np.abs(inp - est), np.nan))
+        axes[1, 0].set_title("abs depth error (overlap)")
+        fig.colorbar(im2, ax=axes[1, 0])
+        axes[1, 1].plot(np.asarray(log["loss"]), label="loss")
+        axes[1, 1].plot(np.asarray(log["inlier_ratio"]), label="inlier ratio")
+        axes[1, 1].set_xlabel("iteration")
+        axes[1, 1].legend()
+        axes[1, 1].set_yscale("log")
+        fig.tight_layout()
+        path = self.config.get(
+            "visualization_path", f"visualization_{int(time.time())}.png"
+        )
+        fig.savefig(path)
+        plt.close(fig)
 
     def refine_batch(
         self,
