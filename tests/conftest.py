@@ -1,26 +1,31 @@
 """Test configuration: force CPU platform with an 8-device virtual mesh.
 
 Multi-chip sharding is validated on a virtual CPU mesh; the benchmark driver
-separately exercises the real TPU chip.
+separately exercises the real TPU chip.  Set ``SDFEST_TPU_TESTS=1`` to keep
+the attached accelerator instead (enables tests/test_tpu_compiled.py, which
+is skipped on CPU).
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_USE_TPU = os.environ.get("SDFEST_TPU_TESTS", "") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# the environment's sitecustomize may force the TPU platform; override it
-jax.config.update("jax_platforms", "cpu")
-# enable float64 so numeric-gradient checks are meaningful on CPU
-jax.config.update("jax_enable_x64", True)
+if not _USE_TPU:
+    # the environment's sitecustomize may force the TPU platform; override it
+    jax.config.update("jax_platforms", "cpu")
+    # enable float64 so numeric-gradient checks are meaningful on CPU
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
