@@ -65,6 +65,64 @@ def visualize_sdf_batch(sdfs: np.ndarray, max_cols: int = 4):
     return fig
 
 
+def shade_depth(depth: np.ndarray) -> np.ndarray:
+    """Lambertian-shaded image of a depth map (normals from depth gradient).
+
+    Produces a mesh-render look without a GL stack: surface normals are
+    estimated from the depth gradients and lit by a fixed headlight +
+    ambient term; background (depth 0) stays black.
+    """
+    valid = depth > 0
+    gy, gx = np.gradient(depth)
+    # normal ~ (-gx, -gy, 1) normalized; headlight along +z
+    norm = np.sqrt(gx * gx + gy * gy + 1.0)
+    ndotl = 1.0 / norm
+    shaded = np.where(valid, 0.25 + 0.75 * ndotl, 0.0)
+    return shaded
+
+
+def save_depth_animation(
+    frames,
+    out_path: str,
+    fps: int = 30,
+    titles=None,
+    cmap: str = "viridis",
+    vmin: float = 0.0,
+    vmax: Optional[float] = None,
+) -> None:
+    """Write an image-sequence animation (mp4 via matplotlib/ffmpeg).
+
+    Headless counterpart of the reference visualizer's ffmpeg export
+    (/root/reference/sdfest/vae/scripts/visualizer.py:381-667).  When no
+    movie writer is available the frames are saved as a compressed ``.npz``
+    instead so the export never hard-fails.
+    """
+    from matplotlib import animation
+
+    if vmax is None:
+        vmax = max(float(np.max(f)) for f in frames) or 1.0
+    fig, ax = plt.subplots()
+    im = ax.imshow(frames[0], vmin=vmin, vmax=vmax, cmap=cmap)
+    ax.axis("off")
+
+    def update(i):
+        im.set_data(frames[i])
+        if titles is not None:
+            ax.set_title(titles[i])
+        return [im]
+
+    ani = animation.FuncAnimation(fig, update, frames=len(frames))
+    try:
+        ani.save(out_path, fps=fps)
+        print(f"Animation saved to {out_path}")
+    except Exception as e:  # no ffmpeg: keep the data
+        fallback = out_path.rsplit(".", 1)[0] + "_frames.npz"
+        np.savez_compressed(fallback, frames=np.stack(frames))
+        print(f"movie export failed ({e}); frames saved to {fallback}")
+    finally:
+        plt.close(fig)
+
+
 def plot_mesh(
     mesh,
     camera_distance: float = 0.5,

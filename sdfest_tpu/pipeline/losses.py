@@ -81,6 +81,12 @@ def pc_loss(
     return values * scale
 
 
+def masked_mean_abs(values: jax.Array, point_mask: jax.Array) -> jax.Array:
+    """Mean |values| over valid points (the pc-loss reduction)."""
+    w = (point_mask != 0).astype(values.dtype)
+    return jnp.sum(jnp.abs(values) * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def masked_pc_loss(
     points: jax.Array,
     point_mask: jax.Array,
@@ -99,8 +105,7 @@ def masked_pc_loss(
         Scalar mean |SDF| over valid points.
     """
     values = pc_loss(points, position, orientation, scale, sdf, point_mask)
-    w = point_mask.astype(values.dtype)
-    return jnp.sum(jnp.abs(values) * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return masked_mean_abs(values, point_mask)
 
 
 def depth_l1_loss(

@@ -17,7 +17,6 @@ over TPU device meshes (see :mod:`sdfest_tpu.parallel`).
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 import pickle
 import time
@@ -39,17 +38,6 @@ from sdfest_tpu.utils import weights as weight_utils
 
 class NoDepthError(ValueError):
     """Raised when no valid depth data remains after preprocessing."""
-
-
-@dataclasses.dataclass
-class PipelineResult:
-    """Estimation result and step log."""
-
-    position: jax.Array  # (1, 3) world frame
-    orientation: jax.Array  # (1, 4) scalar-last quaternion
-    scale: jax.Array  # (1,) half-width
-    latent_shape: jax.Array  # (1, L)
-    log: Optional[Dict[str, np.ndarray]] = None
 
 
 def _adjust_categorical_posterior(
@@ -141,6 +129,7 @@ class SDFPipeline:
             relaxation=self.config.get("relaxation", 1.0),
             culling=self.config.get("coarse_culling", True),
             bf16=self.config.get("bf16_march", False),
+            adaptive=self.config.get("adaptive_relaxation", True),
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -298,6 +287,16 @@ class SDFPipeline:
         opt_state = optimizer.init(state)
         depth_weight = self.config.get("depth_weight", 1.0)
         pc_weight = self.config.get("pc_weight", 1.0)
+        # nn_weight is accepted for config-schema parity only: the
+        # reference's nn loss is dead code (loss_nn = 0 with the computation
+        # commented out, simple_setup.py:151-161), so any weight multiplies
+        # zero there.  Reject nonzero values instead of silently differing.
+        if self.config.get("nn_weight", 0.0) != 0.0:
+            raise ValueError(
+                "nn_weight != 0 is unsupported: the reference's nn loss is "
+                "disabled dead code (loss_nn = 0, simple_setup.py:151-161); "
+                "the key exists for config compatibility only."
+            )
         max_iterations = self.config["max_iterations"]
         use_warm = self._use_temporal_coherence()
         refresh_k = int(self.config.get("temporal_refresh_interval", 8))
@@ -316,14 +315,28 @@ class SDFPipeline:
                     latent_sdf, position_c, orientation_c, scale,
                     view_warm, motion, full_refresh,
                 )
-            else:
-                depth_estimate = self.render(
-                    latent_sdf, position_c, orientation_c, 1.0 / scale
+                loss_pc = losses.masked_pc_loss(
+                    pts, pts_mask, position_c, orientation_c, scale,
+                    latent_sdf,
                 )
+            else:
+                # fused render + pc sampling: ONE backward (one sample-grad
+                # + one scatter kernel) for both loss terms on pallas
+                from sdfest_tpu.render import render_depth_with_pc_values
+
+                depth_estimate, pc_values = render_depth_with_pc_values(
+                    latent_sdf, position_c, orientation_c, scale,
+                    pts, pts_mask,
+                    camera=self.camera,
+                    threshold=self.config["threshold"],
+                    backend=self.config.get("renderer_backend", "auto"),
+                    relaxation=self.config.get("relaxation", 1.0),
+                    culling=self.config.get("coarse_culling", True),
+                    bf16=self.config.get("bf16_march", False),
+                    adaptive=self.config.get("adaptive_relaxation", True),
+                )
+                loss_pc = losses.masked_mean_abs(pc_values, pts_mask)
             loss_depth = losses.depth_l1_loss(depth_input, depth_estimate)
-            loss_pc = losses.masked_pc_loss(
-                pts, pts_mask, position_c, orientation_c, scale, latent_sdf
-            )
             return loss_depth, loss_pc, depth_estimate, view_warm
 
         def loss_fn(state, warm, iteration):
@@ -622,6 +635,9 @@ class SDFPipeline:
         if log_path is not None:
             log_np = {k: np.asarray(v) for k, v in log.items()}
             log_np["timestamp"] = time.time() - start_time
+            # preprocessed inputs travel with the log so playback can
+            # reproduce error images / input overlays without the dataset
+            log_np["depth_input"] = np.asarray(depth_images)
             with open(log_path, "wb") as f:
                 pickle.dump({"config": _plain_config(self.config), "log": log_np}, f)
 

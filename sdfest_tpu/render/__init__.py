@@ -11,6 +11,7 @@
 from sdfest_tpu.render.api import (  # noqa: F401
     render_depth,
     render_depth_warm,
+    render_depth_with_pc_values,
     resolve_backend,
 )
 from sdfest_tpu.render.reference import render_depth_np  # noqa: F401

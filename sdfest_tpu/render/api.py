@@ -13,7 +13,7 @@ Two backends implement identical semantics:
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -119,10 +119,10 @@ def sample_sdf_masked_extrapolating(
 def _render_pallas(static, sdf, position, orientation, inv_scale):
     from sdfest_tpu.render.pallas_kernel import render_depth_pallas_fwd
 
-    camera, threshold, max_steps, relaxation, culling, bf16 = static
+    camera, threshold, max_steps, relaxation, culling, bf16, adaptive = static
     return render_depth_pallas_fwd(
         sdf, position, orientation, inv_scale, camera, threshold, max_steps,
-        relaxation, culling, bf16,
+        relaxation, culling, bf16, adaptive=adaptive,
     )
 
 
@@ -178,6 +178,172 @@ def _render_pallas_bwd(static, residuals, grad_depth):
 
 
 _render_pallas.defvjp(_render_pallas_fwd, _render_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused render + pc-value op: one backward for the whole refinement loss
+# ---------------------------------------------------------------------------
+
+
+def _pc_object_points(position, orientation, inv_scale, points, point_mask,
+                      res):
+    """Object-frame pc queries + validity mask (the pc_loss transform).
+
+    Expression-identical to :func:`sdfest_tpu.pipeline.losses.pc_loss` so the
+    fused op's pose/scale gradients match the separate path: the quaternion
+    is normalized explicitly (normalization gradients included).
+    """
+    from sdfest_tpu.ops.interpolation import _base_and_frac
+
+    q = orientation / jnp.sqrt(jnp.sum(orientation * orientation))
+    obj = quaternion.apply(quaternion.invert(q), points - position)
+    obj = obj * inv_scale
+    _, _, inside = _base_and_frac(obj, res)
+    mask = jnp.logical_and(inside, point_mask != 0)
+    return obj, mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_pc_pallas(static, sdf, position, orientation, inv_scale, points,
+                      point_mask):
+    from sdfest_tpu.render.pallas_kernel import (
+        render_depth_pallas_fwd, sample_sdf_pallas,
+    )
+
+    camera, threshold, max_steps, relaxation, culling, bf16, adaptive = static
+    depth = render_depth_pallas_fwd(
+        sdf, position, orientation, inv_scale, camera, threshold, max_steps,
+        relaxation, culling, bf16, adaptive=adaptive,
+    )
+    obj, mask = _pc_object_points(
+        position, orientation, inv_scale, points, point_mask, sdf.shape[0]
+    )
+    values = sample_sdf_pallas(sdf, obj, mask.astype(jnp.float32))
+    return depth, values
+
+
+def _render_pc_fwd(static, sdf, position, orientation, inv_scale, points,
+                   point_mask):
+    out = _render_pc_pallas(
+        static, sdf, position, orientation, inv_scale, points, point_mask
+    )
+    depth, _ = out
+    return out, (sdf, position, orientation, inv_scale, points, point_mask,
+                 depth)
+
+
+def _render_pc_bwd(static, residuals, cotangents):
+    """Joint VJP: ONE sample-grad kernel + ONE scatter for both losses.
+
+    The separate path launches sample_grad + scatter twice (once inside the
+    render surrogate VJP, once for the pc custom_vjp) over the SAME sdf; here
+    the surrogate queries (raster points at the rendered depth) and the pc
+    queries are concatenated into a single query set, so the backward runs
+    one sample_grad and one scatter over it.  Both query sets are tile-major
+    (the surrogate tiles the raster; pc callers pass ``order="tile"``
+    clouds), keeping the kernels on their windowed fast path.
+    """
+    from sdfest_tpu.render.pallas_kernel import _tile_image, _untile_image
+
+    camera = static[0]
+    sdf, position, orientation, inv_scale, points, point_mask, depth = (
+        residuals
+    )
+    grad_depth, grad_vals = cotangents
+    dirs = xla_backend.pixel_directions(camera, sdf.dtype)
+    h, w = depth.shape
+    res = sdf.shape[0]
+    dz = dirs[..., 2]
+    sur_mask = _tile_image((depth > 0)[..., None], h, w).reshape(-1)
+
+    def f(s, p, q, i):
+        # surrogate depth (identical math to _surrogate_with_op)
+        t = -depth / dz
+        x = t[..., None] * dirs
+        o = quaternion.apply(quaternion.invert(q), x - p)
+        o = o / jnp.sum(q * q)
+        sur = _tile_image(o * i, h, w)
+        # pc values (identical math to pc_loss)
+        obj, pc_mask = _pc_object_points(p, q, i, points, point_mask, res)
+        pts_all = jnp.concatenate([sur, obj], axis=0)
+        mask_all = jnp.concatenate([sur_mask, pc_mask], axis=0)
+        vals = _sample_op_pallas(
+            s, pts_all, jax.lax.stop_gradient(mask_all).astype(jnp.float32)
+        )
+        n_sur = h * w
+        sur_val = _untile_image(vals[:n_sur], h, w) / i * jnp.abs(dz)
+        return sur_val, vals[n_sur:]
+
+    _, vjp = jax.vjp(f, sdf, position, orientation, inv_scale)
+    gs, gp, gq, gi = vjp((grad_depth, grad_vals))
+    return (gs, gp, gq, gi, jnp.zeros_like(points),
+            jnp.zeros_like(point_mask))
+
+
+_render_pc_pallas.defvjp(_render_pc_fwd, _render_pc_bwd)
+
+
+def render_depth_with_pc_values(
+    sdf: jax.Array,
+    position: jax.Array,
+    orientation: jax.Array,
+    scale: jax.Array,
+    points: jax.Array,
+    point_mask: jax.Array,
+    camera: Camera,
+    threshold: float = 0.0,
+    max_steps: int = 500,
+    backend: str = "auto",
+    relaxation: float = 1.0,
+    culling: bool = True,
+    bf16: bool = False,
+    adaptive: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Render a depth image AND sample the SDF at observed points, fused.
+
+    Returns ``(depth (H, W), pc_values (M,))`` where ``pc_values`` are the
+    metric SDF distances of :func:`sdfest_tpu.pipeline.losses.pc_loss`
+    (trilinear values at the posed points, x scale, 0 outside the volume or
+    mask).  Forward and values match calling :func:`render_depth` +
+    ``pc_loss`` separately; the pallas backward is fused (one sample-grad +
+    one scatter kernel for both, instead of two of each).  Falls back to the
+    separate ops off-TPU or for unsupported shapes.
+    """
+    from sdfest_tpu.pipeline import losses
+    from sdfest_tpu.render.pallas_kernel import RES, TILE
+
+    backend = resolve_backend(backend)
+    inv_scale = 1.0 / scale
+    if (
+        backend == "pallas"
+        and sdf.shape[-1] == RES
+        and camera.height % TILE == 0
+        and camera.width % TILE == 0
+    ):
+        static = (
+            camera, float(threshold), int(max_steps), float(relaxation),
+            bool(culling), bool(bf16), bool(adaptive),
+        )
+        depth, values = _render_pc_pallas(
+            static,
+            jnp.asarray(sdf),
+            jnp.asarray(position),
+            jnp.asarray(orientation),
+            inv_scale,
+            jnp.asarray(points),
+            jnp.asarray(point_mask),
+        )
+        return depth, values * scale
+    depth = render_depth(
+        sdf, position, orientation, inv_scale, camera=camera,
+        threshold=threshold, max_steps=max_steps, backend=backend,
+        relaxation=relaxation, culling=culling, bf16=bf16, adaptive=adaptive,
+    )
+    values = losses.pc_loss(
+        points, position, orientation, scale, sdf, point_mask,
+        backend=backend,
+    )
+    return depth, values
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +439,7 @@ def render_depth(
     relaxation: float = 1.0,
     culling: bool = True,
     bf16: bool = False,
+    adaptive: bool = True,
 ) -> jax.Array:
     """Render a depth image of a posed, scaled, voxelized SDF.
 
@@ -283,7 +450,10 @@ def render_depth(
     with conservative fallback; faster, depth within ~threshold*t of plain
     marching).  ``culling`` enables hierarchical empty-space culling on the
     pallas backend (conservative coarse-grid bound steps in empty space;
-    never skips a surface the plain march would hit).
+    never skips a surface the plain march would hit).  ``adaptive`` enables
+    per-ray auto-over-relaxation inside the culling march (graze-band rays
+    overstep up to ~1.9x with a certified revert fallback; same stepping-
+    noise class as culling).
     """
     backend = resolve_backend(backend)
     if camera is None:
@@ -301,7 +471,7 @@ def render_depth(
     if backend == "pallas":
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
-            bool(culling), bool(bf16),
+            bool(culling), bool(bf16), bool(adaptive),
         )
         return _render_pallas(
             static,

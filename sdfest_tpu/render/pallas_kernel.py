@@ -49,13 +49,14 @@ TILE = 16  # pixel tile edge for the march.  16x16 = 256 rays per tile:
 # once culling + the bf16 fast path cheapen the wasted lock-step rays
 # (measured 20.7 -> 17.3 ms on the bench sphere, 16.1 -> 14.3 ms on a mug)
 QM = TILE * TILE  # rays per march tile
-WJ = 16  # y-cell window for the windowed fine sample: rays in a march tile
+import os as _os0
+WJ = int(_os0.environ.get("SDFEST_WJ", 16))  # y-cell window for the windowed fine sample: rays in a march tile
 # are spatially coherent, so the active rays' trilinear y-cells span <= WJ
 # cells in >90% of fine steps (measured on sphere/mug sweeps); those steps
 # slice a (WJ*res, res) table window with pl.ds, shrinking both the lerp-row
 # build and the matmul contraction 4x.  Wide steps fall back to the full
 # table inside a lax.cond.
-_UNROLL = 3  # fine sub-steps per while iteration in the v2 culling march:
+_UNROLL = int(_os0.environ.get("SDFEST_UNROLL", 3))  # fine sub-steps per while iteration in the v2 culling march:
 # amortizes the per-iteration scalar-sync/branch overhead (~6-9 us on v5e,
 # larger than the sample matmul) across several dependent samples
 _UNROLL_COARSE = 2  # bound sub-steps per coarse iteration (same
@@ -63,6 +64,16 @@ _UNROLL_COARSE = 2  # bound sub-steps per coarse iteration (same
 _UNROLL_AUX = 2  # sub-steps in the corridor-tracking (aux) march: the five
 # corridor carries raise VMEM pressure, and 3 sub-steps blow the 16 MiB
 # scoped-vmem budget (measured 17.01M)
+# per-ray auto-over-relaxation (v2 culling march, ``adaptive``): initial /
+# growth / cap of the overstep factor omega.  The cap stays below 2 because
+# the overlap certificate for a constant field along the ray (the graze-band
+# regime) holds exactly up to omega = 2; 1.9 leaves certification margin so
+# grazing rays almost never revert.
+import os as _os
+
+_OMEGA_INIT = float(_os.environ.get("SDFEST_OMEGA_INIT", 1.4))
+_OMEGA_GROW = float(_os.environ.get("SDFEST_OMEGA_GROW", 0.2))
+_OMEGA_MAX = float(_os.environ.get("SDFEST_OMEGA_MAX", 1.9))
 NC = 16  # coarse empty-space-culling grid resolution per axis
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
 # the (clamped) linear extrapolation just outside the volume boundary
@@ -415,6 +426,7 @@ def _march_kernel_body(
     bf16: bool = False,
     aux: bool = False,
     warm: bool = False,
+    adaptive: bool = True,
 ):
     sc = scalars_ref[:]
     inv_scale = sc[:, 0:1]
@@ -689,8 +701,27 @@ def _march_kernel_body(
         # a per-ray in-window predicate; rays that drift out of the window
         # simply stall until the next iteration re-centers it (they stay
         # active, so the window always re-covers them — no livelock).
+        #
+        # ``adaptive``: per-ray auto-over-relaxation (Balint & Valasek 2018
+        # style) rides the sub-steps as pure vector ops.  Each ray oversteps
+        # by omega * dist; when the unbounding-sphere chain breaks
+        # (stepped > d_prev + dist, so the segment is no longer certified
+        # surface-free) the ray reverts to its last certified position and
+        # omega resets to 1, otherwise omega grows toward _OMEGA_MAX.  This
+        # attacks the dominant graze-band cost: grazing rays see a nearly
+        # constant field along the ray, so the overlap certificate holds up
+        # to omega ~ 2 and their step count halves, while head-on rays
+        # (field slope ~ -1) revert once and settle at omega ~ 1.  Hit
+        # decisions only ever fire on certified (non-reverted) samples, so
+        # no surface the plain march would hit is skipped; hit positions
+        # shift within the same stepping-noise class as culling.
+        # NOTE (measured dead end, v5e): collapsing the per-iteration scalar
+        # reductions (cond sum, near sum, jlo, jhi) into ONE packed (Q, 4)
+        # max-reduce with a carried alive scalar + decide-at-body-end was
+        # ~1.5 ms SLOWER per 640x480 render — the lane-concat relayout of
+        # four lane-0 operands costs more than the merged reduces save.
         def cond(carry):
-            _, _, active, step = carry
+            _, _, active, step = carry[:4]
             return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
 
         k_iota = jax.lax.broadcasted_iota(
@@ -698,7 +729,7 @@ def _march_kernel_body(
         )
 
         def body(carry):
-            t, depth, active, step = carry
+            t, depth, active, step, stepped, d_prev, omega = carry
             pts = (origin_o + t * dirs_o) * inv_scale
             cd, _ = _coarse_lookup(ttc_ref, pts, NC)
             cd = cd * scale
@@ -710,37 +741,73 @@ def _march_kernel_body(
             j0, win_ok = _window_bounds(byi, active > 0.0, res)
             sel = jnp.where(near > 0.0, jnp.where(win_ok, 1, 2), 0)
 
-            def substeps(t, depth, active, sample):
+            def substeps(t, depth, active, stepped, d_prev, omega, sample):
                 for _ in range(_UNROLL):
                     p = (origin_o + t * dirs_o) * inv_scale
                     dist, valid = sample(p)
                     upd = active * valid
-                    hit = upd * jnp.where(dist < threshold * t, 1.0, 0.0)
-                    depth = jnp.where(hit > 0.0, -t * dz, depth)
-                    active = active * (1.0 - hit)
-                    t = jnp.where(active * valid > 0.0, t + dist, t)
+                    if adaptive:
+                        # uncertified overstep: spheres don't overlap
+                        revert = (
+                            upd
+                            * jnp.where(stepped > d_prev + dist, 1.0, 0.0)
+                            * jnp.where(stepped > 0.0, 1.0, 0.0)
+                        )
+                        ok = upd * (1.0 - revert)
+                        hit = ok * jnp.where(dist < threshold * t, 1.0, 0.0)
+                        depth = jnp.where(hit > 0.0, -t * dz, depth)
+                        active = active * (1.0 - hit)
+                        move = active * valid
+                        adv = move * (1.0 - revert)
+                        step_len = omega * dist
+                        t = jnp.where(
+                            revert > 0.0, t - stepped + d_prev,
+                            jnp.where(adv > 0.0, t + step_len, t),
+                        )
+                        stepped = jnp.where(
+                            revert > 0.0, 0.0,
+                            jnp.where(adv > 0.0, step_len, stepped),
+                        )
+                        d_prev = jnp.where(adv > 0.0, dist, d_prev)
+                        omega = jnp.where(
+                            revert > 0.0, 1.0,
+                            jnp.where(
+                                adv > 0.0,
+                                jnp.minimum(omega + _OMEGA_GROW, _OMEGA_MAX),
+                                omega,
+                            ),
+                        )
+                    else:
+                        hit = upd * jnp.where(dist < threshold * t, 1.0, 0.0)
+                        depth = jnp.where(hit > 0.0, -t * dz, depth)
+                        active = active * (1.0 - hit)
+                        t = jnp.where(active * valid > 0.0, t + dist, t)
                     # per-sub-step deactivation: a ray past t_max must not
                     # sample (extrapolated values could false-hit)
                     active = active * jnp.where(t < t_max, 1.0, 0.0)
-                return t, depth, active
+                return t, depth, active, stepped, d_prev, omega
 
-            def coarse_branch(t, depth, active):
+            def coarse_branch(t, depth, active, stepped, d_prev, omega):
                 # bound steps are always safe (cd lower-bounds the field),
                 # so extra sub-steps amortize the iteration overhead the
                 # same way fine sub-steps do; a ray whose new bound dips
                 # below the termination band stalls for the next
                 # iteration's fine/coarse decision (no hits ever happen
-                # here, so no t_max re-check is needed)
-                t = jnp.where(active > 0.0, t + cd, t)
+                # here, so no t_max re-check is needed).  A bound step is a
+                # certified plain step, so it restarts the overstep chain.
+                moved = active > 0.0
+                t = jnp.where(moved, t + cd, t)
                 for _ in range(_UNROLL_COARSE - 1):
                     p = (origin_o + t * dirs_o) * inv_scale
                     cd2, _ = _coarse_lookup(ttc_ref, p, NC)
                     cd2 = cd2 * scale
                     far = jnp.where(cd2 >= threshold * t + 1e-5, 1.0, 0.0)
                     t = jnp.where(active * far > 0.0, t + cd2, t)
-                return t, depth, active
+                if adaptive:
+                    stepped = jnp.where(moved, 0.0, stepped)
+                return t, depth, active, stepped, d_prev, omega
 
-            def fine_win_branch(t, depth, active):
+            def fine_win_branch(t, depth, active, stepped, d_prev, omega):
                 tw = tt_ref[pl.ds(j0 * res, WJ * res), :]
 
                 def sample(p):
@@ -765,23 +832,28 @@ def _march_kernel_body(
                         valid,
                     )
 
-                return substeps(t, depth, active, sample)
+                return substeps(t, depth, active, stepped, d_prev, omega,
+                                sample)
 
-            def fine_full_branch(t, depth, active):
+            def fine_full_branch(t, depth, active, stepped, d_prev, omega):
                 def sample(p):
                     return _sample_tile(tt_ref, p, res, jk) * scale, 1.0
 
-                return substeps(t, depth, active, sample)
+                return substeps(t, depth, active, stepped, d_prev, omega,
+                                sample)
 
-            t, depth, active = jax.lax.switch(
+            t, depth, active, stepped, d_prev, omega = jax.lax.switch(
                 sel, [coarse_branch, fine_win_branch, fine_full_branch],
-                t, depth, active,
+                t, depth, active, stepped, d_prev, omega,
             )
             active = active * jnp.where(t < t_max, 1.0, 0.0)
-            return t, depth, active, step + 1
+            return t, depth, active, step + 1, stepped, d_prev, omega
 
-        _, depth, _, _ = jax.lax.while_loop(
-            cond, body, (t0, jnp.zeros_like(t0), active0, 0)
+        zeros = jnp.zeros_like(t0)
+        _, depth, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (t0, zeros, active0, 0, zeros, zeros,
+             jnp.full_like(t0, _OMEGA_INIT if adaptive else 1.0)),
         )
         depth_ref[0] = depth
         return
@@ -1059,7 +1131,7 @@ def _untile_image(x: jax.Array, h: int, w: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "threshold", "max_steps", "relaxation",
-                     "culling", "bf16", "aux", "interpret"),
+                     "culling", "bf16", "aux", "adaptive", "interpret"),
 )
 def render_depth_pallas_fwd(
     sdf: jax.Array,
@@ -1075,6 +1147,7 @@ def render_depth_pallas_fwd(
     t_init=None,
     skip=None,
     aux: bool = False,
+    adaptive: bool = True,
     interpret=None,
 ):
     """Forward sphere-trace via the Pallas tile kernel; returns (H, W) depth.
@@ -1198,7 +1271,8 @@ def render_depth_pallas_fwd(
     out = pl.pallas_call(
         functools.partial(_march_kernel, res=res, max_steps=max_steps,
                           relaxation=relaxation, culling=culling,
-                          bf16=bf16 and culling, aux=aux, warm=warm),
+                          bf16=bf16 and culling, aux=aux, warm=warm,
+                          adaptive=adaptive),
         grid_spec=grid_spec,
         out_shape=[tile_shape] * n_out,
         interpret=interpret,

@@ -66,6 +66,55 @@ class LatentExplorer:
         zs = np.stack([(1 - t) * za + t * zb for t in ts])
         return self.decode(zs)[:, 0]
 
+    def load_keyframe(self, path: str) -> np.ndarray:
+        """A keyframe latent from a .npy file: a latent vector, or an SDF
+        volume which is encoded first (the reference visualizer's 'capture
+        current latent' keyframes, visualizer.py:381-430)."""
+        arr = np.load(path)
+        if arr.ndim >= 3:
+            return self.encode(np.squeeze(arr))
+        return arr.reshape(-1)
+
+    def animate(
+        self, keyframes, frames_per_segment: int, turn: float = 0.0
+    ):
+        """Decode + render a keyframed latent animation.
+
+        Piecewise-linear interpolation through ``keyframes`` (latent
+        vectors), ``frames_per_segment`` frames per segment; each frame is
+        rendered with the framework's depth renderer and normal-shaded.
+        ``turn`` additionally rotates the shape by that many turns over the
+        whole animation.  Returns a list of (H, W) images.
+        """
+        import jax
+
+        from sdfest_tpu.ops.camera import Camera
+        from sdfest_tpu.ops.sdf_vis import shade_depth
+        from sdfest_tpu.render import render_depth
+
+        zs = []
+        for a, b in zip(keyframes[:-1], keyframes[1:]):
+            for t in np.linspace(0.0, 1.0, frames_per_segment, endpoint=False):
+                zs.append((1 - t) * a + t * b)
+        zs.append(keyframes[-1])
+        sdfs = self.decode(np.stack(zs))[:, 0]
+        camera = Camera(width=320, height=240, fx=280, fy=280, cx=160, cy=120)
+        position = jnp.asarray([0.0, 0.0, -0.45])
+        render = jax.jit(
+            lambda sdf, q: render_depth(
+                sdf, position, q, 1.0 / 0.18, camera=camera, threshold=0.002
+            )
+        )
+        frames = []
+        for i, sdf in enumerate(sdfs):
+            angle = np.pi * turn * 2.0 * i / max(len(sdfs) - 1, 1)
+            q = jnp.asarray(
+                [0.0, np.sin(angle / 2), 0.0, np.cos(angle / 2)], jnp.float32
+            )
+            depth = np.asarray(render(jnp.asarray(sdf), q))
+            frames.append(shade_depth(depth))
+        return frames
+
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="Explore a VAE latent space.")
@@ -76,6 +125,18 @@ def main() -> None:
     parser.add_argument("--interpolate", nargs=2, default=None)
     parser.add_argument("--steps", type=int, default=7)
     parser.add_argument("--export_mesh", action="store_true")
+    parser.add_argument(
+        "--animate", nargs="+", default=None, metavar="KEYFRAME",
+        help="keyframed latent animation: >= 2 .npy files, each a latent "
+        "vector or an SDF volume (encoded first); piecewise-linear "
+        "interpolation, shaded-render frames, mp4 export",
+    )
+    parser.add_argument("--frames_per_segment", type=int, default=15)
+    parser.add_argument("--fps", type=int, default=15)
+    parser.add_argument(
+        "--turntable", type=float, default=0.5,
+        help="turns of rotation over the whole animation",
+    )
     config = load_config_from_args(parser)
     args, _ = parser.parse_known_args()
 
@@ -107,6 +168,20 @@ def main() -> None:
         fig.savefig(path)
         print(f"Interpolation figure saved to {path}")
         np.save(os.path.join(args.out_folder, "interpolation_sdfs.npy"), sdfs)
+
+    if args.animate is not None:
+        from sdfest_tpu.ops.sdf_vis import save_depth_animation
+
+        if len(args.animate) < 2:
+            raise SystemExit("--animate needs at least 2 keyframe files")
+        keyframes = [explorer.load_keyframe(p) for p in args.animate]
+        frames = explorer.animate(
+            keyframes, args.frames_per_segment, turn=args.turntable
+        )
+        out = os.path.join(args.out_folder, "animation.mp4")
+        save_depth_animation(
+            frames, out, fps=args.fps, cmap="gray", vmax=1.0
+        )
 
 
 if __name__ == "__main__":

@@ -278,7 +278,12 @@ def measure_phases(pipeline: SDFPipeline, depth, mask) -> Dict[str, Dict]:
 
 
 def runtime_analysis(config: dict) -> dict:
-    """Reference-comparable runtime breakdown (runs, skip-first warm-up)."""
+    """Reference-comparable runtime breakdown (runs, skip-first warm-up).
+
+    With ``trace_dir`` set (config key or ``--trace``), one warm
+    full-refinement run is additionally captured as a TensorBoard-loadable
+    ``jax.profiler`` trace (SURVEY §5.1: traces + phase buckets).
+    """
     pipeline = SDFPipeline(config)
     color, depth, _, _ = load_rgbd(config)
     instances = get_masks(color, depth, config)
@@ -291,6 +296,15 @@ def runtime_analysis(config: dict) -> dict:
             k: {kk: float(vv) for kk, vv in v.items()}
             for k, v in phase_stats.items()
         }
+    if config.get("trace_dir"):
+        depth_j = pipeline._preprocess_depth(
+            jnp.asarray(depth, jnp.float32), jnp.asarray(mask)
+        )
+        key = jax.random.PRNGKey(0)
+        jax.block_until_ready(pipeline(depth_j, mask, key=key))  # warm/compiled
+        with jax.profiler.trace(config["trace_dir"]):
+            jax.block_until_ready(pipeline(depth_j, mask, key=key))
+        print(f"Profiler trace written to {config['trace_dir']}")
     if config.get("out_folder"):
         os.makedirs(config["out_folder"], exist_ok=True)
         out_path = os.path.join(
@@ -344,7 +358,14 @@ def run_on_image(pipeline: SDFPipeline, config: dict) -> List[Dict]:
 def main() -> None:
     parser = argparse.ArgumentParser(description="SDF pose estimation on real data.")
     parser.add_argument("--config", nargs="+", required=False)
+    parser.add_argument(
+        "--trace", metavar="DIR", default=None,
+        help="capture a jax.profiler trace of one warm refinement run "
+        "(TensorBoard-loadable) into DIR during --measure_runtime",
+    )
     config = load_config_from_args(parser)
+    if config.get("trace"):
+        config["trace_dir"] = config.pop("trace")
     if config.get("measure_runtime"):
         runtime_analysis(config)
         return

@@ -98,14 +98,27 @@ class Evaluator:
         return results
 
     def _evaluate_config(self, config: dict) -> dict:
+        raw = self.evaluate_config_raw(config)
+        return {
+            views: self._compute_metric_statistics(metrics_list)
+            for views, metrics_list in raw.items()
+        }
+
+    def evaluate_config_raw(self, config: dict, files=None) -> dict:
+        """Per-file metric dicts, keyed by view count (no aggregation).
+
+        ``files`` restricts evaluation to a subset of the dataset — the
+        multi-host sweep driver passes each process's shard here and merges
+        the raw lists before computing statistics.
+        """
         results_dict = {}
         self.pipeline = SDFPipeline(config)
-        files = sorted(glob_exts(config["data_path"], [".obj", ".off"]))
+        if files is None:
+            files = sorted(glob_exts(config["data_path"], [".obj", ".off"]))
         for views in config["num_views"]:
-            metrics_list = []
-            for path in files:
-                metrics_list.append(self._evaluate_file(path, views, config))
-            results_dict[views] = self._compute_metric_statistics(metrics_list)
+            results_dict[views] = [
+                self._evaluate_file(path, views, config) for path in files
+            ]
         return results_dict
 
     def _save_and_print_results(self, results_dict: Dict) -> None:

@@ -11,12 +11,16 @@ Supported formats:
   (:func:`save_params` / :func:`load_params`).
 - missing   — randomly initialized parameters (training / testing).
 
-Downloads are not performed automatically (deployments are frequently
-air-gapped); if only a URL is available the raised error explains how to
-fetch and convert.
+Like the reference, weights are auto-downloaded from ``model_url`` when the
+resolved path does not exist (/root/reference/sdfest/utils.py:27-39), so a
+config fully identifies a runnable model.  Upgrades over the reference: an
+optional ``model_sha256`` config key verifies the download, and setting
+``SDFEST_TPU_NO_DOWNLOAD=1`` disables network access for air-gapped
+deployments (the raised error then explains how to fetch and convert).
 """
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Any, Dict, Optional
 
@@ -48,6 +52,37 @@ def _search_paths():
     ]
 
 
+def download_weights(url: str, path: str, sha256: Optional[str] = None) -> str:
+    """Download model weights to ``path``, verifying an optional checksum.
+
+    TPU-native counterpart of the reference's ``cpas_toolbox.utils.download``
+    call (/root/reference/sdfest/utils.py:27-39) with integrity checking the
+    reference lacks: a mismatched ``sha256`` removes the file and raises.
+    """
+    import urllib.request
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    print(f"Model weights {path} not found.\nDownloading from {url}")
+    tmp = path + ".part"
+    try:
+        urllib.request.urlretrieve(url, tmp)
+        if sha256 is not None:
+            digest = hashlib.sha256()
+            with open(tmp, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    digest.update(chunk)
+            if digest.hexdigest() != sha256:
+                raise IOError(
+                    f"Checksum mismatch for {url}: expected {sha256}, "
+                    f"got {digest.hexdigest()}"
+                )
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return path
+
+
 def _resolve_model_path(config: Dict[str, Any]) -> Optional[str]:
     model = config.get("model")
     if model is None:
@@ -56,6 +91,12 @@ def _resolve_model_path(config: Dict[str, Any]) -> Optional[str]:
     if os.path.exists(resolved):
         return resolved
     url = config.get("model_url")
+    if url and os.environ.get("SDFEST_TPU_NO_DOWNLOAD", "") != "1":
+        if not os.path.isabs(resolved):
+            resolved = os.path.expanduser(
+                os.path.join("~/.sdfest_tpu/model_weights", model)
+            )
+        return download_weights(url, resolved, config.get("model_sha256"))
     hint = f" Download it from {url} and place it at {model}." if url else ""
     raise FileNotFoundError(
         f"Model weights {model} not found in search paths.{hint} "

@@ -31,6 +31,47 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Tests measured > ~10 s on CPU; the fast CI job (-m "not slow") skips them,
+# the nightly job runs everything.  Centralized here (instead of per-file
+# decorators) so the split stays auditable in one place.
+_SLOW_TESTS = {
+    "test_refinement_temporal_coherence_matches",
+    "test_sharded_hypothesis_refinement",
+    "test_train_init_generated_smoke",
+    "test_rendering_evaluation_ablations",
+    "test_vae_shapes_with_mug_config",
+    "test_hypothesis_batch_refinement",
+    "test_vjp_position_matches_finite_difference_render",
+    "test_pallas_render_under_vmap_and_grad",
+    "test_rendering_evaluation_end_to_end",
+    "test_refinement_reduces_loss_and_error",
+    "test_pipeline_log_and_playback",
+    "test_multi_view_pipeline",
+    "test_api_render_pallas_gradients_match_xla",
+    "test_init_view_best_multi_view",
+    "test_train_vae_smoke",
+    "test_pipeline_runs_end_to_end",
+    "test_render_is_vmappable",
+    "test_point_constraint_loss_path",
+    "test_train_init_nocs_smoke",
+    "test_prior_orientation_distribution",
+    "test_init_trainer_loss_decreases",
+    "test_windowed_sampler_coherent_and_scattered",
+    "test_pipeline_best_inlier_strategy",
+    "test_data_parallel_step_matches_single_device",
+    "test_pc_loss_pallas_backend_matches_xla",
+    "test_mean_shape_ablation",
+    "test_coarse_culling_bound_and_parity",
+    "test_two_process_distributed_sweep",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

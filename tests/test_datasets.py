@@ -425,3 +425,107 @@ def test_subsample_masked_uniform_and_valid():
         points, jnp.zeros(m, bool), 16, jax.random.PRNGKey(1)
     )
     assert not bool(none_valid)
+
+
+# ---------------------------------------------------------------------------
+# AnnotatedRedwoodDataset: GT-mesh z-buffer mask against analytic silhouette
+# ---------------------------------------------------------------------------
+
+
+def _make_redwood_fixture(tmp_path, occlude=False):
+    """Tiny Redwood tree: one mug sequence, one cube annotation frame."""
+    import json
+
+    from PIL import Image
+
+    from sdfest_tpu.pipeline.synthetic import save_obj
+
+    half = 0.1
+    dist = 0.6
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    v = np.array(
+        [[x, y, z] for x in (-half, half) for y in (-half, half)
+         for z in (-half, half)]
+    )
+    f = np.array(
+        [
+            [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+            [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+            [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+        ]
+    )
+    save_obj(str(ann_dir / "seq1.obj"), v, f)
+    with open(ann_dir / "annotations.json", "w") as fh:
+        json.dump(
+            {
+                "seq1": {
+                    "category": "mug",
+                    "scale": [half, half, half],
+                    "mesh": "seq1.obj",
+                    "pose_anns": [
+                        {
+                            "position": [0.0, 0.0, dist],
+                            "orientation": [0.0, 0.0, 0.0, 1.0],
+                            "rgb_file": "f.png",
+                            "depth_file": "f.png",
+                        }
+                    ],
+                }
+            },
+            fh,
+        )
+    rgb_dir = tmp_path / "root" / "mug" / "rgbd" / "seq1" / "rgb"
+    depth_dir = tmp_path / "root" / "mug" / "rgbd" / "seq1" / "depth"
+    rgb_dir.mkdir(parents=True)
+    depth_dir.mkdir()
+    Image.fromarray(np.zeros((480, 640, 3), np.uint8)).save(rgb_dir / "f.png")
+    depth_mm = np.full((480, 640), 550, np.uint16)  # on-surface-ish depth
+    if occlude:
+        depth_mm[200:280, 200:280] = 300  # clearly in front of the mesh
+    Image.fromarray(depth_mm).save(depth_dir / "f.png")
+    return tmp_path / "root", ann_dir, half, dist
+
+
+def test_redwood_mask_matches_analytic_silhouette(tmp_path):
+    from sdfest_tpu.datasets.redwood_dataset import AnnotatedRedwoodDataset
+
+    root_dir, ann_dir, half, dist = _make_redwood_fixture(tmp_path)
+    ds = AnnotatedRedwoodDataset(
+        {"root_dir": str(root_dir), "ann_dir": str(ann_dir)}
+    )
+    assert len(ds) == 1
+    sample = ds[0]
+    mask = sample["mask"]
+    # head-on cube: silhouette is the front-face projection, a square of
+    # half-width fx * half / (dist - half) pixels around the principal point
+    fx, cx, cy = 525.0, 319.5, 239.5
+    half_px = fx * half / (dist - half)
+    expected = np.zeros((480, 640), bool)
+    ys, xs = np.mgrid[0:480, 0:640]
+    expected[(np.abs(xs - cx) <= half_px) & (np.abs(ys - cy) <= half_px)] = True
+    # areas agree within 2% and disagreement is confined to the 2px border
+    assert abs(mask.sum() - expected.sum()) / expected.sum() < 0.02
+    disagree = mask != expected
+    border = (
+        (np.abs(np.abs(xs - cx) - half_px) < 2.5)
+        | (np.abs(np.abs(ys - cy) - half_px) < 2.5)
+    )
+    assert not np.any(disagree & ~border)
+    # half_max scale convention on [half]*3 extents
+    assert np.isclose(sample["scale"], half)
+
+
+def test_redwood_mask_removes_occluded_pixels(tmp_path):
+    from sdfest_tpu.datasets.redwood_dataset import AnnotatedRedwoodDataset
+
+    root_dir, ann_dir, half, dist = _make_redwood_fixture(tmp_path, occlude=True)
+    ds = AnnotatedRedwoodDataset(
+        {"root_dir": str(root_dir), "ann_dir": str(ann_dir)}
+    )
+    mask = ds[0]["mask"]
+    # occluder strip (depth 0.3 m < mesh front 0.5 m) is excluded ...
+    assert not mask[200:280, 200:280].any()
+    # ... while unoccluded silhouette pixels survive (silhouette spans
+    # columns ~215-424 at the image center row)
+    assert mask[239, 300:320].all()
