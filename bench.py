@@ -3,11 +3,15 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Headline metric (BASELINE.json): depth renders/sec at 640x480 with a 64^3
-SDF on the available accelerator.  ``vs_baseline`` reports the speedup of
-the production backend (Pallas on TPU) over the pure-XLA gather-based path
-on the same device — the honest measure of what the TPU-native kernel
-design buys (the reference repo publishes no numbers, BASELINE.md).
+Headline metric: production refinement throughput (fused render + losses +
+analytic VJP + Adam, the SDFPipeline hot loop) on the MUG scene — the
+silhouette-graze-heavy regime that dominates real workloads (easy convex
+scenes are reported as secondary detail).  ``vs_baseline`` is the multiple
+over the documented estimate of the reference CUDA/torch implementation's
+refinement rate on its contemporary GPU (BASELINE.md "Reference anchor":
+10-30 ms/iteration from the reference's own hot-loop structure; midpoint
+20 ms/iter = 50 it/s).  The same-device XLA-oracle speedup (what the kernel
+design buys over generic XLA on identical hardware) is in the detail dict.
 
 Timing methodology: the runtime executes lazily and caches bitwise-identical
 requests, so every measurement scans over DISTINCT random poses inside one
@@ -17,35 +21,37 @@ perturbed pose sets.  Fixed-point "chained" probes are NOT sufficient.
 import argparse
 import json
 import sys
-import time
 
-import numpy as np
-
-
-def make_sphere_sdf(res=64, radius=0.5):
-    c = np.linspace(-1.0, 1.0, res)
-    x, y, z = np.meshgrid(c, c, c, indexing="ij")
-    return (np.sqrt(x * x + y * y + z * z) - radius).astype(np.float32)
+# documented external anchor (BASELINE.md "Reference anchor"): estimated
+# reference refinement rate on its contemporary GPU, midpoint of the
+# 33-100 it/s range derived from the reference hot-loop structure
+REF_EST_ITERS_PER_SEC = 50.0
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small sizes (CI)")
-    parser.add_argument("--poses", type=int, default=20)
+    parser.add_argument("--poses", type=int, default=16)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--refine-iters", type=int, default=50)
-    parser.add_argument("--warm-refine", action="store_true",
-                        help="temporal-coherence warm refinement (opt-in, as in the pipeline)")
     args = parser.parse_args()
+
+    import time
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import optax
 
     from sdfest_tpu.ops.camera import Camera
     from sdfest_tpu.ops import pointset, quaternion
     from sdfest_tpu.pipeline import losses as L
-    from sdfest_tpu.render import render_depth, resolve_backend
+    from sdfest_tpu.render import (
+        render_depth,
+        render_depth_with_pc_values,
+        resolve_backend,
+    )
+    from sdfest_tpu.utils.scenes import make_mug_sdf, make_sphere_sdf
 
     if args.quick:
         camera = Camera(width=160, height=112, fx=80, fy=80, cx=80, cy=56,
@@ -56,7 +62,8 @@ def main():
                         pixel_center=0.5)
 
     block = jax.block_until_ready
-    sdf = jnp.asarray(make_sphere_sdf(64))
+    mug = jnp.asarray(make_mug_sdf(64))
+    sphere = jnp.asarray(make_sphere_sdf(64))
     true_p = jnp.asarray([0.02, -0.01, -0.5])
     q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0])
     backend = resolve_backend("auto")
@@ -64,13 +71,10 @@ def main():
     # random realistic pose set (object visible, ~20-45% of tiles active)
     m = args.poses
     ps = true_p + 0.05 * jax.random.normal(jax.random.PRNGKey(0), (m, 3))
-    qs = quaternion.random_uniform(jax.random.PRNGKey(1), (m,)) * 0.2 + jnp.tile(
-        q0, (m, 1)
-    ) * 0.8
-    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
+    qs = quaternion.random_uniform(jax.random.PRNGKey(1), (m,))
     scales = 0.2 + 0.02 * jax.random.normal(jax.random.PRNGKey(2), (m,))
 
-    def render(bk):
+    def render(sdf, bk):
         return lambda p, q, s: render_depth(
             sdf, p, q, 1.0 / s, camera=camera, threshold=0.005, backend=bk
         )
@@ -85,101 +89,73 @@ def main():
             out, _ = jax.lax.scan(step, 0.0, (ps, qs, scales))
             return out
 
-        r = run(ps, qs, scales)
-        block(r)
+        block(run(ps, qs, scales))
+        block(run(ps * 1.0001, qs, scales))  # throwaway timed rep (NOTES.md)
         t0 = time.perf_counter()
         for i in range(reps):
             r = run(ps * (1.0 + 1e-4 * (i + 1)), qs, scales)
             block(r)
         return (time.perf_counter() - t0) / reps / m
 
-    t_fwd = sweep_time(lambda p, q, s: jnp.sum(render(backend)(p, q, s)))
-    renders_per_sec = 1.0 / t_fwd
+    t_mug = sweep_time(lambda p, q, s: jnp.sum(render(mug, backend)(p, q, s)))
+    t_sphere = sweep_time(
+        lambda p, q, s: jnp.sum(render(sphere, backend)(p, q, s))
+    )
     t_xla = (
-        sweep_time(lambda p, q, s: jnp.sum(render("xla")(p, q, s)), reps=1)
+        sweep_time(
+            lambda p, q, s: jnp.sum(render(mug, "xla")(p, q, s)), reps=1
+        )
         if backend == "pallas" and not args.quick
-        else t_fwd
+        else t_mug
     )
 
-    target = render(backend)(true_p, q0, jnp.asarray(0.2))
+    # production loss program on the mug scene (fused render + pc sampling)
+    true_s = jnp.asarray(0.2)
+    target = render(mug, backend)(true_p, q0, true_s)
     points, pmask = pointset.depth_to_pointcloud_dense(
         target, camera, order="tile"
     )
 
     def loss_fn(p, q, s):
-        est = render(backend)(p, q, s)
-        return L.depth_l1_loss(target, est) + 3.0 * L.masked_pc_loss(
-            points, pmask, p, q, s, sdf
+        est, pc_vals = render_depth_with_pc_values(
+            mug, p, q, s, points, pmask, camera=camera, threshold=0.005,
+            backend=backend,
+        )
+        return L.depth_l1_loss(target, est) + 3.0 * L.masked_mean_abs(
+            pc_vals, pmask
         )
 
     t_grad = sweep_time(
         lambda p, q, s: jnp.sum(jax.grad(loss_fn, argnums=(0,))(p, q, s)[0])
     )
 
-    # refinement: scanned Adam steps from a perturbed start (honest: the
-    # trajectory itself provides distinct states).  Mirrors the production
-    # pipeline loop, including temporal-coherence warm rendering on pallas.
-    optimizer = optax.adam(1e-3)
-    use_warm = args.warm_refine and backend == "pallas"
-    if use_warm:
-        from sdfest_tpu.render.warm import (
-            init_warm_views,
-            motion_bound,
-            warm_render_step,
-        )
+    # refinement: scanned Adam steps from a realistic init error (~4 cm off,
+    # 10% scale, ~6 deg): the trajectory itself provides distinct states.
+    optimizer = optax.adam(2e-3)
 
     @jax.jit
     def refine(state):
         opt_state = optimizer.init(state)
-        warm0 = {
-            "views": init_warm_views(1, camera.height, camera.width),
-            "prev": {k: state[k] for k in ("p", "q", "scale")},
-        } if use_warm else None
 
-        def warm_loss_fn(st, warm, it):
-            prev = {
-                "position": warm["prev"]["p"],
-                "orientation": warm["prev"]["q"],
-                "scale": warm["prev"]["scale"],
-                "sdf": sdf,
-            }
-            motion = motion_bound(st["p"], st["q"], st["scale"], sdf, prev)
-            est, new_views = warm_render_step(
-                sdf, st["p"], st["q"], st["scale"],
-                {k: v[0] for k, v in warm["views"].items()},
-                motion, it % 8 == 0, camera=camera, threshold=0.005,
-            )
-            loss = L.depth_l1_loss(target, est) + 3.0 * L.masked_pc_loss(
-                points, pmask, st["p"], st["q"], st["scale"], sdf
-            )
-            new_warm = jax.lax.stop_gradient({
-                "views": {k: v[None] for k, v in new_views.items()},
-                "prev": {k: st[k] for k in ("p", "q", "scale")},
-            })
-            return loss, new_warm
-
-        def step(carry, it):
-            st, os_, warm = carry
-            if use_warm:
-                (l, warm), g = jax.value_and_grad(
-                    warm_loss_fn, has_aux=True)(st, warm, it)
-            else:
-                l, g = jax.value_and_grad(
-                    lambda s: loss_fn(s["p"], s["q"], s["scale"])
-                )(st)
+        def step(carry, _):
+            st, os_ = carry
+            l, g = jax.value_and_grad(
+                lambda s: loss_fn(s["p"], s["q"], s["scale"])
+            )(st)
             up, os_ = optimizer.update(g, os_)
             st = optax.apply_updates(st, up)
             st = dict(st, q=st["q"] / jnp.linalg.norm(st["q"]))
-            return (st, os_, warm), l
+            return (st, os_), l
 
-        (st, _, _), ls = jax.lax.scan(step, (state, opt_state, warm0),
-                                      jnp.arange(args.refine_iters))
+        (st, _), ls = jax.lax.scan(
+            step, (state, opt_state), jnp.arange(args.refine_iters)
+        )
         return st, ls
 
     s0 = {
-        "p": true_p + jnp.asarray([0.03, -0.02, 0.03]),
+        "p": true_p + jnp.asarray([0.03, -0.02, 0.02]),
         "q": jnp.asarray([0.05, 0.0, 0.0, 1.0]) / jnp.sqrt(1.0025),
-        "scale": jnp.asarray(0.22),
+        "scale": true_s * 1.1,
     }
     st, ls = refine(s0)
     block(ls)
@@ -192,21 +168,31 @@ def main():
     block(ls)
     t_refine = (time.perf_counter() - t0) / max(args.reps, 1)
     refine_iters_per_sec = args.refine_iters / t_refine
+    pos_err_first = float(jnp.linalg.norm(s0["p"] - true_p)) * 1000
+    pos_err_last = float(jnp.linalg.norm(st["p"] - true_p)) * 1000
 
     result = {
-        "metric": "depth_renders_per_sec_640x480_64cube"
+        "metric": "mug_refine_iters_per_sec_640x480_64cube"
         if not args.quick
-        else "depth_renders_per_sec_quick",
-        "value": round(renders_per_sec, 2),
-        "unit": "renders/s",
-        "vs_baseline": round(t_xla / t_fwd, 2),
+        else "mug_refine_iters_per_sec_quick",
+        "value": round(refine_iters_per_sec, 2),
+        "unit": "refine iters/s",
+        "vs_baseline": round(refine_iters_per_sec / REF_EST_ITERS_PER_SEC, 2),
         "detail": {
             "backend": backend,
-            "render_ms": round(t_fwd * 1000, 2),
-            "xla_render_ms": round(t_xla * 1000, 2),
+            "vs_baseline_meaning": "multiple over the documented estimate of "
+            "the reference CUDA/torch refinement rate (~50 it/s midpoint; "
+            "BASELINE.md 'Reference anchor')",
+            "mug_render_ms": round(t_mug * 1000, 2),
+            "sphere_render_ms": round(t_sphere * 1000, 2),
+            "mug_renders_per_sec": round(1.0 / t_mug, 2),
+            "xla_oracle_render_ms": round(t_xla * 1000, 2),
+            "kernel_vs_xla_same_device": round(t_xla / t_mug, 2),
             "fwd_bwd_ms": round(t_grad * 1000, 2),
-            "refine_iters_per_sec": round(refine_iters_per_sec, 2),
-            "loss_first_last": [round(float(ls[0]), 4), round(float(ls[-1]), 4)],
+            "pos_err_first_last_mm": [round(pos_err_first, 1),
+                                      round(pos_err_last, 2)],
+            "loss_first_last": [round(float(ls[0]), 4),
+                                round(float(ls[-1]), 4)],
             "device": str(jax.devices()[0]),
         },
     }

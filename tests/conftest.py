@@ -63,6 +63,9 @@ _SLOW_TESTS = {
     "test_mean_shape_ablation",
     "test_coarse_culling_bound_and_parity",
     "test_two_process_distributed_sweep",
+    "test_fused_render_pc_matches_separate_path",
+    "test_play_log_modes_and_mesh_export",
+    "test_latent_explorer_keyframed_animation",
 }
 
 

@@ -282,3 +282,51 @@ def test_windowed_sampler_coherent_and_scattered():
         (want_sc,) = vjp(cot)
         np.testing.assert_allclose(np.asarray(got_sc), np.asarray(want_sc),
                                    atol=1e-3)
+
+
+def test_fused_render_pc_matches_separate_path():
+    """render_depth_with_pc_values == render_depth + pc_loss, incl. grads.
+
+    The fused op's joint backward (one sample-grad + one scatter over the
+    concatenated surrogate + pc query sets) must reproduce the separate
+    custom-VJP instances to fp rounding.
+    """
+    from sdfest_tpu.ops import pointset
+    from sdfest_tpu.pipeline import losses as L
+    from sdfest_tpu.render import render_depth, render_depth_with_pc_values
+
+    scale = 1.0 / INV_SCALE
+    target = render_depth(SDF, POSITION, QUAT, INV_SCALE, camera=CAM,
+                          threshold=0.005, backend="pallas")
+    points, pmask = pointset.depth_to_pointcloud_dense(target, CAM,
+                                                       order="tile")
+    p = (POSITION + jnp.asarray([0.02, -0.01, 0.015])).astype(jnp.float32)
+    q = (QUAT + jnp.asarray([0.03, 0.0, -0.02, 0.0])).astype(jnp.float32)
+    s = (scale * 1.07).astype(jnp.float32)
+
+    def loss_sep(sdf, p, q, s):
+        est = render_depth(sdf, p, q, 1.0 / s, camera=CAM, threshold=0.005,
+                           backend="pallas")
+        return (L.depth_l1_loss(target, est)
+                + 3.0 * L.masked_pc_loss(points, pmask, p, q, s, sdf)), est
+
+    def loss_fused(sdf, p, q, s):
+        est, vals = render_depth_with_pc_values(
+            sdf, p, q, s, points, pmask, camera=CAM, threshold=0.005,
+            backend="pallas")
+        return (L.depth_l1_loss(target, est)
+                + 3.0 * L.masked_mean_abs(vals, pmask)), est
+
+    sdf32 = SDF.astype(jnp.float32)
+    (l1, e1), g1 = jax.value_and_grad(loss_sep, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(sdf32, p, q, s)
+    (l2, e2), g2 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(sdf32, p, q, s)
+    assert bool(jnp.all(e1 == e2))  # identical forward renders
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        # two scatters vs one concatenated scatter accumulate in different
+        # orders; tolerance is 1e-4 of the gradient magnitude
+        np.testing.assert_allclose(a, b, rtol=5e-4,
+                                   atol=1e-4 * max(np.abs(a).max(), 1e-6))
