@@ -239,30 +239,41 @@ def _render_pc_bwd(static, residuals, cotangents):
     render surrogate VJP, once for the pc custom_vjp) over the SAME sdf; here
     the surrogate queries (raster points at the rendered depth) and the pc
     queries are concatenated into a single query set, so the backward runs
-    one sample_grad and one scatter over it.  Both query sets are tile-major
-    (the surrogate tiles the raster; pc callers pass ``order="tile"``
-    clouds), keeping the kernels on their windowed fast path.
+    one sample_grad and one scatter over it.  The whole surrogate is
+    computed in 16x16-tile-major space against the trace-time-constant
+    tiled direction planes, so only ``depth`` and ``grad_depth`` pay a
+    tiling transpose (the raster<->tile copies of the query/value images
+    measured ~0.2 ms each in profiler traces); tile order also keeps the
+    sample/scatter kernels on their windowed fast path, and the loss
+    reductions downstream are order-invariant.
     """
-    from sdfest_tpu.render.pallas_kernel import _tile_image, _untile_image
+    import numpy as np
+
+    from sdfest_tpu.render.pallas_kernel import _camera_ray_planes, _tile_image
 
     camera = static[0]
     sdf, position, orientation, inv_scale, points, point_mask, depth = (
         residuals
     )
     grad_depth, grad_vals = cotangents
-    dirs = xla_backend.pixel_directions(camera, sdf.dtype)
     h, w = depth.shape
     res = sdf.shape[0]
-    dz = dirs[..., 2]
-    sur_mask = _tile_image((depth > 0)[..., None], h, w).reshape(-1)
+    _, dx_np, dy_np, dz_np = _camera_ray_planes(camera)
+    dirs_t = jnp.asarray(
+        np.concatenate([dx_np, dy_np, dz_np], axis=2).reshape(-1, 3)
+    )
+    dz_t = dirs_t[:, 2]
+    depth_t = _tile_image(depth[..., None], h, w).reshape(-1)
+    grad_depth_t = _tile_image(grad_depth[..., None], h, w).reshape(-1)
+    sur_mask = depth_t > 0
 
     def f(s, p, q, i):
-        # surrogate depth (identical math to _surrogate_with_op)
-        t = -depth / dz
-        x = t[..., None] * dirs
+        # surrogate depth (identical math to _surrogate_with_op, tile order)
+        t = -depth_t / dz_t
+        x = t[:, None] * dirs_t
         o = quaternion.apply(quaternion.invert(q), x - p)
         o = o / jnp.sum(q * q)
-        sur = _tile_image(o * i, h, w)
+        sur = o * i
         # pc values (identical math to pc_loss)
         obj, pc_mask = _pc_object_points(p, q, i, points, point_mask, res)
         pts_all = jnp.concatenate([sur, obj], axis=0)
@@ -271,11 +282,11 @@ def _render_pc_bwd(static, residuals, cotangents):
             s, pts_all, jax.lax.stop_gradient(mask_all).astype(jnp.float32)
         )
         n_sur = h * w
-        sur_val = _untile_image(vals[:n_sur], h, w) / i * jnp.abs(dz)
+        sur_val = vals[:n_sur] / i * jnp.abs(dz_t)
         return sur_val, vals[n_sur:]
 
     _, vjp = jax.vjp(f, sdf, position, orientation, inv_scale)
-    gs, gp, gq, gi = vjp((grad_depth, grad_vals))
+    gs, gp, gq, gi = vjp((grad_depth_t, grad_vals))
     return (gs, gp, gq, gi, jnp.zeros_like(points),
             jnp.zeros_like(point_mask))
 

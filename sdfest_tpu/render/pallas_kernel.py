@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdfest_tpu.ops.camera import Camera
 from sdfest_tpu.ops import quaternion
-from sdfest_tpu.render.xla import _obb_intersect, pixel_directions
+from sdfest_tpu.render.xla import _obb_intersect
 
 RES = 64
 Q = 256  # queries per tile for the standalone sampling/scatter kernels
@@ -225,6 +225,7 @@ def _win_iota(q: int, res: int):
     """Loop-invariant lane//res field for the (q, WJ*res) windowed rows."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (q, WJ * res), 1)
     return iota // res
+
 
 
 def _fine_sample(
@@ -1113,6 +1114,36 @@ def _march_kernel_body(
     depth_ref[0] = depth
 
 
+@functools.lru_cache(maxsize=8)
+def _camera_ray_planes(camera: Camera):
+    """Trace-time numpy constants: (H, W, 3) ray dirs + tiled x/y/z planes.
+
+    These depend only on the (static) camera, but when computed with jnp
+    inside the traced function XLA re-executed the three tile-transpose
+    copies EVERY pose (~0.7 ms/render at 640x480, measured in a profiler
+    trace).  Computing them host-side at trace time turns them into
+    executable constants with zero runtime cost.  float64 intermediate
+    matches jnp's f32 math to 1 ulp.
+    """
+    import numpy as np
+
+    fx, fy, cx, cy, _ = camera.get_pinhole_camera_parameters(0.5)
+    h, w = camera.height, camera.width
+    rows, cols = np.mgrid[0:h, 0:w].astype(np.float64)
+    dx = (cols + 0.5 - cx) / fx
+    dy = -(rows + 0.5 - cy) / fy
+    inv = 1.0 / np.sqrt(dx * dx + dy * dy + 1.0)
+    d = np.stack([dx * inv, dy * inv, -inv], axis=-1).astype(np.float32)
+    n_tiles = (h // TILE) * (w // TILE)
+
+    def tile(plane):
+        t = plane.reshape(h // TILE, TILE, w // TILE, TILE)
+        t = np.moveaxis(t, 2, 1)
+        return np.ascontiguousarray(t.reshape(n_tiles, TILE * TILE, 1))
+
+    return d, tile(d[..., 0]), tile(d[..., 1]), tile(d[..., 2])
+
+
 def _tile_image(x: jax.Array, h: int, w: int) -> jax.Array:
     """(H, W, ...) -> (T*Q, ...) in 16x16 tile-major order."""
     trailing = x.shape[2:]
@@ -1181,7 +1212,8 @@ def render_depth_pallas_fwd(
     # rotation on flat (HW, 3) arrays) was measured SLOWER (+0.7-1 ms):
     # minor-dim-3 layouts compute at 3/128-lane occupancy; the (H, W)
     # raster layout keeps the OBB math lane-friendly
-    dirs = pixel_directions(camera, dtype)
+    dirs_np, dx_np, dy_np, dz_np = _camera_ray_planes(camera)
+    dirs = jnp.asarray(dirs_np)
     scale = 1.0 / inv_scale
     hit, t_min, t_max = _obb_intersect(dirs, position, orientation, scale)
     rot = quaternion.to_rotation_matrix(orientation)
@@ -1198,12 +1230,12 @@ def render_depth_pallas_fwd(
                        t_min)
     active0 = hit & (t0 < t_max) & (skip <= 0.0)
 
-    # camera-constant direction planes, tiled once (loop-invariant in
-    # refinement scans; the kernel rotates them into the object frame)
+    # camera-constant direction planes, tiled at trace time (executable
+    # constants; the kernel rotates them into the object frame)
     n_tiles = (h // TILE) * (w // TILE)
-    dx_t = _tile_image(dirs[..., 0:1], h, w).reshape(n_tiles, QM, 1)
-    dy_t = _tile_image(dirs[..., 1:2], h, w).reshape(n_tiles, QM, 1)
-    dz_t = _tile_image(dirs[..., 2:3], h, w).reshape(n_tiles, QM, 1)
+    dx_t = jnp.asarray(dx_np)
+    dy_t = jnp.asarray(dy_np)
+    dz_t = jnp.asarray(dz_np)
 
     table = sdf_to_table(sdf)
     if aux and (not culling or relaxation > 1.0):
@@ -1232,6 +1264,10 @@ def render_depth_pallas_fwd(
         active0.reshape(h // TILE, TILE, w // TILE, TILE), axis=(1, 3)
     ).reshape(n_tiles)
     sprefetch = _compaction_prefetch(act_tile)
+    # dynamic grid: exactly count steps run (inactive tiles are never even
+    # swept — the former static-grid tail cost ~1.7 us/tile, ~2 ms/render
+    # at 640x480)
+    count = sprefetch[0]
 
     remap = lambda t, s: (s[1 + t], 0, 0)
     tile_spec = pl.BlockSpec((1, QM, 1), remap, memory_space=pltpu.VMEM)
@@ -1250,7 +1286,7 @@ def render_depth_pallas_fwd(
         warm_args = [tinit_t, skip_t]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(count,),
         in_specs=[
             pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1411,9 +1447,11 @@ def _sample_grad_kernel(s_ref, tt_ref, pts_ref, mask_ref, out_ref, grad_ref,
 def _compaction_prefetch(act_tile: jax.Array) -> jax.Array:
     """[count, mapped tile ids...] for active-tile grid compaction.
 
-    Grid step t maps to the t-th active tile; tail steps repeat the last
-    active index so Mosaic elides their block DMAs (consecutive equal
-    indices) and a ``program_id < count`` guard no-ops them.
+    Grid step t maps to the t-th active tile.  The callers pass a DYNAMIC
+    grid of exactly ``count`` steps, so inactive tiles cost nothing at all;
+    the mapped tail (last active index repeated) plus the ``program_id <
+    count`` kernel guard keep the kernels correct in interpret mode or if a
+    static grid is ever used.
     """
     n = act_tile.shape[0]
     count = jnp.sum(act_tile.astype(jnp.int32))
@@ -1463,12 +1501,13 @@ def sample_sdf_pallas(
     n_tiles = n_pad // Q
     m_t = m.reshape(n_tiles, Q, 1)
     act_tile = jnp.any(m_t[:, :, 0] > 0.0, axis=1)
+    sprefetch = _compaction_prefetch(act_tile)
     remap = lambda t, s: (s[1 + t], 0, 0)
     out = pl.pallas_call(
         functools.partial(_sample_kernel, res=res),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_tiles,),
+            grid=(sprefetch[0],),
             in_specs=[
                 pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1480,7 +1519,7 @@ def sample_sdf_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, Q, 1), jnp.float32),
         interpret=interpret,
-    )(_compaction_prefetch(act_tile),
+    )(sprefetch,
       sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, Q, 3),
       m_t)
     # never-visited tiles are uninitialized; their rows are all-masked -> 0
@@ -1516,12 +1555,13 @@ def sample_sdf_grad_pallas(
     n_tiles = n_pad // QG
     m_t = m.reshape(n_tiles, QG, 1)
     act_tile = jnp.any(m_t[:, :, 0] > 0.0, axis=1)
+    sprefetch = _compaction_prefetch(act_tile)
     remap = lambda t, s: (s[1 + t], 0, 0)
     value, grad = pl.pallas_call(
         functools.partial(_sample_grad_kernel, res=res),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_tiles,),
+            grid=(sprefetch[0],),
             in_specs=[
                 pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1538,7 +1578,7 @@ def sample_sdf_grad_pallas(
             jax.ShapeDtypeStruct((n_tiles, QG, 3), jnp.float32),
         ),
         interpret=interpret,
-    )(_compaction_prefetch(act_tile),
+    )(sprefetch,
       sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, QG, 3),
       m_t)
     row_act = jnp.broadcast_to(act_tile[:, None], (n_tiles, QG)).reshape(n_pad)
@@ -1637,12 +1677,14 @@ def scatter_sdf_grad_pallas(
     n_tiles = n_pad // Q
     cot_t = cot.reshape(n_tiles, Q, 1)
     act_tile = jnp.any(jnp.abs(cot_t[:, :, 0]) > 0.0, axis=1)
+    sprefetch = _compaction_prefetch(act_tile)
     remap = lambda t, s: (s[1 + t], 0, 0)
     grad_table = pl.pallas_call(
         functools.partial(_scatter_kernel, res=res),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_tiles,),
+            # at least one step must run: step 0 zero-inits the output
+            grid=(jnp.maximum(sprefetch[0], 1),),
             in_specs=[
                 pl.BlockSpec((1, Q, 3), remap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Q, 1), remap, memory_space=pltpu.VMEM),
@@ -1652,5 +1694,5 @@ def scatter_sdf_grad_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((res * res, res), jnp.float32),
         interpret=interpret,
-    )(_compaction_prefetch(act_tile), pts.reshape(n_tiles, Q, 3), cot_t)
+    )(sprefetch, pts.reshape(n_tiles, Q, 3), cot_t)
     return table_grad_to_sdf(grad_table, res)
