@@ -544,6 +544,8 @@ class SDFPipeline:
         camera_positions: Optional[jax.Array] = None,
         camera_orientations: Optional[jax.Array] = None,
         log_path: Optional[str] = None,
+        animation_path: Optional[str] = None,
+        animation_mode: str = "depth",
         shape_optimization: bool = True,
         point_constraint: Optional[Tuple] = None,
         prior_orientation_distribution: Optional[jax.Array] = None,
@@ -560,6 +562,12 @@ class SDFPipeline:
             camera_positions: (V, 3) world positions of the cameras (0 if None).
             camera_orientations: (V, 4) world orientations (identity if None).
             log_path: Write a pickled step log ("flight recorder") here.
+            animation_path: Export an mp4 of the optimization here
+                (counterpart of the reference's in-loop frame dumps,
+                simple_setup.py:870-975; frames are re-rendered from the
+                step log after the fused loop, which the scan program makes
+                exact).
+            animation_mode: "depth" | "error" | "mesh" frame contents.
             shape_optimization: Optimize the latent shape during refinement.
             point_constraint: Optional (source, target, weight) orientation
                 constraint.
@@ -632,14 +640,23 @@ class SDFPipeline:
             point_constraint,
         )
 
-        if log_path is not None:
+        if log_path is not None or animation_path is not None:
             log_np = {k: np.asarray(v) for k, v in log.items()}
             log_np["timestamp"] = time.time() - start_time
             # preprocessed inputs travel with the log so playback can
             # reproduce error images / input overlays without the dataset
             log_np["depth_input"] = np.asarray(depth_images)
-            with open(log_path, "wb") as f:
-                pickle.dump({"config": _plain_config(self.config), "log": log_np}, f)
+            data = {"config": _plain_config(self.config), "log": log_np}
+            if log_path is not None:
+                with open(log_path, "wb") as f:
+                    pickle.dump(data, f)
+            if animation_path is not None:
+                from sdfest_tpu.scripts.play_log import export_animation
+
+                export_animation(
+                    data, animation_path, mode=animation_mode,
+                    pipeline=self,
+                )
 
         if visualize:
             self._visualize_optimization(state, depth_images, log)

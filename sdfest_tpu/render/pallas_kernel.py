@@ -74,7 +74,7 @@ import os as _os
 _OMEGA_INIT = float(_os.environ.get("SDFEST_OMEGA_INIT", 1.4))
 _OMEGA_GROW = float(_os.environ.get("SDFEST_OMEGA_GROW", 0.2))
 _OMEGA_MAX = float(_os.environ.get("SDFEST_OMEGA_MAX", 1.9))
-NC = 16  # coarse empty-space-culling grid resolution per axis
+NC = int(_os.environ.get("SDFEST_NC", 16))  # coarse culling grid resolution per axis
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
 # the (clamped) linear extrapolation just outside the volume boundary
 _COARSE_MARGIN = 1e-4

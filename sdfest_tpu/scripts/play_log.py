@@ -55,13 +55,14 @@ def plot_trajectories(log: dict, out_path: str) -> None:
     print(f"Trajectory plot saved to {out_path}")
 
 
-def _render_frames(data: dict, stride: int):
+def _render_frames(data: dict, stride: int, pipeline=None):
     """Re-render logged states; returns (pipeline, depth frames, indices)."""
     import jax.numpy as jnp
 
     from sdfest_tpu.pipeline.pipeline import SDFPipeline
 
-    pipeline = SDFPipeline(data["config"])
+    if pipeline is None:
+        pipeline = SDFPipeline(data["config"])
     log = data["log"]
     frames, indices = [], []
     for i in range(0, len(log["loss"]), stride):
@@ -82,16 +83,19 @@ def export_animation(
     stride: int = 1,
     fps: int = 30,
     mode: str = "depth",
+    pipeline=None,
 ) -> None:
     """Export an mp4 of the optimization (reference play_log toggles).
 
     Modes: ``depth`` (estimated depth), ``error`` (|estimate - input| on
     the overlap, requires a log with ``depth_input``), ``mesh`` (normal-
-    shaded render of the estimated surface).
+    shaded render of the estimated surface).  Pass ``pipeline`` to reuse an
+    already-constructed pipeline (the in-pipeline ``animation_path`` export
+    does).
     """
     from sdfest_tpu.ops.sdf_vis import save_depth_animation, shade_depth
 
-    _, frames, indices = _render_frames(data, stride)
+    _, frames, indices = _render_frames(data, stride, pipeline=pipeline)
     titles = [f"iteration {i}" for i in indices]
     if mode == "depth":
         save_depth_animation(frames, out_path, fps=fps, titles=titles)

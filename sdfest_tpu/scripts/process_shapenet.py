@@ -95,15 +95,79 @@ def process(
     return converted
 
 
+def review_sheet(
+    inp_folder: str, sheet_path: str, selection_json: str, cols: int = 8
+) -> int:
+    """Headless replacement for the reference's interactive keep/remove GUI
+    (process_shapenet.py:82-154): render every candidate mesh into an
+    indexed contact sheet and write a ``good_meshes.json`` template (all
+    true).  Curate by eyeballing the sheet and flipping entries to false,
+    then run the conversion with ``--filter_json``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sdfest_tpu.ops.sdf_vis import plot_mesh
+
+    mesh_paths = find_meshes(inp_folder)
+    if not mesh_paths:
+        print(f"No meshes under {inp_folder}")
+        return 0
+    rows = (len(mesh_paths) + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(2.2 * cols, 2.4 * rows))
+    axes = np.atleast_1d(axes).reshape(rows, cols)
+    selection = {}
+    for i, path in enumerate(mesh_paths):
+        frag = os.path.relpath(path, inp_folder)
+        selection[frag] = True
+        ax = axes[i // cols, i % cols]
+        try:
+            mesh = Mesh(path=path, scale=1.0, rel_scale=True, center=True)
+            mesh.scale = 0.1
+            plot_mesh(mesh, camera_distance=0.3, plot_object=ax)
+        except Exception as e:  # never lose the whole sheet to one mesh
+            ax.text(0.5, 0.5, f"load failed\n{e}", ha="center", fontsize=5)
+        ax.set_title(f"{i}: {frag[:28]}", fontsize=5)
+        ax.axis("off")
+    for j in range(len(mesh_paths), rows * cols):
+        axes[j // cols, j % cols].axis("off")
+    fig.tight_layout()
+    fig.savefig(sheet_path, dpi=110)
+    plt.close(fig)
+    with open(selection_json, "w") as f:
+        json.dump(selection, f, indent=1)
+    print(f"Review sheet: {sheet_path}; selection template: {selection_json}")
+    return len(mesh_paths)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="Preprocess ShapeNet meshes.")
     parser.add_argument("--inp_folder", required=True)
-    parser.add_argument("--out_folder", required=True)
+    parser.add_argument("--out_folder", required=False, default=None)
     parser.add_argument("--resolution", type=int, default=64)
     parser.add_argument("--padding", type=int, default=2)
     parser.add_argument("--filter_json", default=None)
     parser.add_argument("--jobs", type=int, default=-1)
+    parser.add_argument(
+        "--review_sheet", metavar="PNG", default=None,
+        help="write an indexed contact sheet of all meshes + a "
+        "good_meshes.json template instead of converting (headless "
+        "keep/remove curation)",
+    )
     args = parser.parse_args()
+    if args.review_sheet:
+        review_sheet(
+            args.inp_folder,
+            args.review_sheet,
+            os.path.join(
+                os.path.dirname(args.review_sheet) or ".", "good_meshes.json"
+            ),
+        )
+        return
+    if args.out_folder is None:
+        parser.error("--out_folder is required for conversion")
     process(
         args.inp_folder,
         args.out_folder,

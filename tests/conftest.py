@@ -66,6 +66,7 @@ _SLOW_TESTS = {
     "test_fused_render_pc_matches_separate_path",
     "test_play_log_modes_and_mesh_export",
     "test_latent_explorer_keyframed_animation",
+    "test_pipeline_inline_animation_export",
 }
 
 

@@ -240,3 +240,25 @@ def test_latent_explorer_keyframed_animation(tmp_path):
     # shaded object pixels present and shading bounded
     assert any((f > 0).sum() > 100 for f in frames)
     assert all(float(f.max()) <= 1.0 for f in frames)
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference fixture unavailable")
+def test_pipeline_inline_animation_export(tmp_path):
+    """animation_path on the pipeline call exports the optimization mp4."""
+    import jax
+
+    from sdfest_tpu.pipeline.pipeline import SDFPipeline
+
+    config = _eval_config(tmp_path, tmp_path)
+    pipeline = SDFPipeline(config)
+    latent = jax.random.normal(jax.random.PRNGKey(5), (1, 8))
+    sdf = pipeline._decode(latent)[0, 0]
+    depth = pipeline.render(
+        sdf, jnp.asarray([0.0, 0.0, -0.45]), jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+        jnp.asarray(1.0 / 0.12),
+    )
+    out = str(tmp_path / "inline_anim.mp4")
+    pipeline(depth, depth > 0, animation_path=out, animation_mode="error")
+    assert os.path.isfile(out) or os.path.isfile(
+        str(tmp_path / "inline_anim_frames.npz")
+    )
