@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--poses", type=int, default=16)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--refine-iters", type=int, default=50)
+    parser.add_argument("--hypotheses", type=int, default=8,
+                        help="batched-hypothesis refinement width (0 = skip)")
     args = parser.parse_args()
 
     import time
@@ -109,8 +111,32 @@ def main():
         else t_mug
     )
 
-    # production loss program on the mug scene (fused render + pc sampling)
     true_s = jnp.asarray(0.2)
+    # compiled-Mosaic parity, wired into the driver path so it cannot
+    # silently rot: the production backend must agree with the XLA oracle
+    # on the bench scene (hit mask within culling/relaxation stepping
+    # noise, depth within 5e-3 on agreeing pixels)
+    if backend == "pallas":
+        d_pl = np.asarray(render(mug, "pallas")(true_p, q0, true_s))
+        d_xla = np.asarray(render(mug, "xla")(true_p, q0, true_s))
+        hit_agreement = float(((d_pl > 0) == (d_xla > 0)).mean())
+        both = (d_pl > 0) & (d_xla > 0)
+        deltas = np.abs(d_pl[both] - d_xla[both])
+        max_depth_delta = float(deltas.max())
+        p99_depth_delta = float(np.percentile(deltas, 99))
+        assert hit_agreement > 0.995, f"Mosaic hit parity broke: {hit_agreement}"
+        # hit depths land within the termination band (field < threshold*t);
+        # adaptive/culling stepping noise is a few band widths: individual
+        # graze pixels may differ by up to ~6*threshold*depth (measured
+        # compiled max 8.2e-3 vs interpret 3.6e-3 with mean 0.8e-3), while
+        # the bulk must stay within one band
+        band = 6.0 * 0.005 * float(d_xla.max())
+        assert p99_depth_delta < 5e-3, f"Mosaic depth parity broke (p99): {p99_depth_delta}"
+        assert max_depth_delta < band, f"Mosaic depth parity broke (max): {max_depth_delta}"
+    else:
+        hit_agreement, max_depth_delta, p99_depth_delta = 1.0, 0.0, 0.0
+
+    # production loss program on the mug scene (fused render + pc sampling)
     target = render(mug, backend)(true_p, q0, true_s)
     points, pmask = pointset.depth_to_pointcloud_dense(
         target, camera, order="tile"
@@ -171,6 +197,31 @@ def main():
     pos_err_first = float(jnp.linalg.norm(s0["p"] - true_p)) * 1000
     pos_err_last = float(jnp.linalg.norm(st["p"] - true_p)) * 1000
 
+    # hypothesis-parallel refinement (vmap of the same program over N
+    # independent starts — the capability the reference lacks entirely;
+    # aggregate hyp-iters/s is the production throughput number)
+    n_hyp = 0 if args.quick else args.hypotheses
+    hyp_iters_per_sec = 0.0
+    if n_hyp:
+        keys = jax.random.split(jax.random.PRNGKey(7), n_hyp)
+        batch0 = {
+            "p": s0["p"][None]
+            + 0.01 * jax.random.normal(keys[0], (n_hyp, 3)),
+            "q": jnp.tile(s0["q"], (n_hyp, 1)),
+            "scale": jnp.full((n_hyp,), float(true_s) * 1.1),
+        }
+        refine_b = jax.jit(jax.vmap(refine))
+        block(refine_b(batch0)[1])
+        block(refine_b(dict(batch0, p=batch0["p"] * 0.9999))[1])
+        t0 = time.perf_counter()
+        for i in range(max(args.reps, 1)):
+            _, lsb = refine_b(
+                dict(batch0, p=batch0["p"] * (1.0 + 1e-4 * (i + 1)))
+            )
+        block(lsb)
+        t_b = (time.perf_counter() - t0) / max(args.reps, 1)
+        hyp_iters_per_sec = n_hyp * args.refine_iters / t_b
+
     result = {
         "metric": "mug_refine_iters_per_sec_640x480_64cube"
         if not args.quick
@@ -191,6 +242,13 @@ def main():
             "fwd_bwd_ms": round(t_grad * 1000, 2),
             "pos_err_first_last_mm": [round(pos_err_first, 1),
                                       round(pos_err_last, 2)],
+            "batched_hyp_iters_per_sec": round(hyp_iters_per_sec, 2),
+            "batched_hypotheses": n_hyp,
+            "mosaic_parity": {
+                "hit_agreement": round(hit_agreement, 5),
+                "p99_depth_delta": round(p99_depth_delta, 6),
+                "max_depth_delta": round(max_depth_delta, 6),
+            },
             "loss_first_last": [round(float(ls[0]), 4),
                                 round(float(ls[-1]), 4)],
             "device": str(jax.devices()[0]),

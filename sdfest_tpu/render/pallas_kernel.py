@@ -1550,7 +1550,7 @@ def sample_sdf_grad_pallas(
     n = points.shape[0]
     # half-size tiles: the three (QG, res^2) A-matrices plus iota scratch
     # must fit VMEM alongside the table
-    QG = 128
+    QG = int(_os.environ.get("SDFEST_QG", 128))
     pts, m, n_pad = _pad_points(points, mask, n, QG)
     n_tiles = n_pad // QG
     m_t = m.reshape(n_tiles, QG, 1)

@@ -124,3 +124,58 @@ def test_compiled_all_miss_and_grads_finite():
         )
     )(POS)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_compiled_fused_render_pc_grads_match_separate():
+    """Fused render+pc op vs separate path, compiled on the real MXU."""
+    from sdfest_tpu.ops import pointset
+    from sdfest_tpu.pipeline import losses as L
+    from sdfest_tpu.render import render_depth, render_depth_with_pc_values
+    from sdfest_tpu.utils.scenes import make_mug_sdf
+
+    mug = jnp.asarray(make_mug_sdf(64))
+    scale = 1.0 / INV_S
+    target = render_depth(mug, POS, QUAT, INV_S, camera=CAM, threshold=0.005,
+                          backend="pallas")
+    points, pmask = pointset.depth_to_pointcloud_dense(target, CAM,
+                                                       order="tile")
+    p = POS + jnp.asarray([0.02, -0.01, 0.015], jnp.float32)
+
+    def loss_sep(p):
+        est = render_depth(mug, p, QUAT, INV_S, camera=CAM, threshold=0.005,
+                           backend="pallas")
+        return (L.depth_l1_loss(target, est)
+                + 3.0 * L.masked_pc_loss(points, pmask, p, QUAT, scale, mug))
+
+    def loss_fused(p):
+        est, vals = render_depth_with_pc_values(
+            mug, p, QUAT, scale, points, pmask, camera=CAM, threshold=0.005,
+            backend="pallas")
+        return (L.depth_l1_loss(target, est)
+                + 3.0 * L.masked_mean_abs(vals, pmask))
+
+    l1, g1 = jax.value_and_grad(loss_sep)(p)
+    l2, g2 = jax.value_and_grad(loss_fused)(p)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3,
+                               atol=1e-4 * float(jnp.abs(g1).max()))
+
+
+def test_compiled_dynamic_grid_under_vmap():
+    """Batched (vmap) compiled render with the dynamic active-tile grid."""
+    ps = POS + 0.02 * jax.random.normal(jax.random.PRNGKey(3), (3, 3))
+    batched = jax.jit(
+        jax.vmap(
+            lambda p: render_depth_pallas_fwd(
+                SDF, p, QUAT, INV_S, CAM, threshold=0.005, interpret=False
+            )
+        )
+    )(ps.astype(jnp.float32))
+    singles = [
+        render_depth_pallas_fwd(
+            SDF, p, QUAT, INV_S, CAM, threshold=0.005, interpret=False
+        )
+        for p in ps.astype(jnp.float32)
+    ]
+    for b, s in zip(batched, singles):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(s), atol=1e-6)
