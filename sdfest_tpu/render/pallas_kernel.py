@@ -95,6 +95,39 @@ def _resolve_interpret(interpret) -> bool:
     return interpret
 
 
+def _sequential_vmap(fn, *args):
+    """Call ``fn(*args)``; under ``jax.vmap``, run batch elements one by one.
+
+    Compiled Mosaic has miscompiled batched ``pallas_call`` programs of the
+    march kernel: ``vmap`` adds a leading grid dimension, and on real TPU
+    both dynamic (active-count-sized) grids and the adaptive-relaxation
+    while carries produced wrong depths (|ddepth| up to 0.5 on ~3% of
+    pixels) while every unbatched compile — and interpret mode — is exact
+    (tests/test_tpu_compiled.py::test_compiled_render_under_vmap guards
+    this).  One 640x480 render already saturates a v5e chip (hypothesis
+    scaling measured flat from N=1 to 8), so lowering ``vmap`` to a
+    ``lax.map`` over unbatched calls is performance-neutral and removes the
+    whole batched-Mosaic hazard class; only the pallas calls serialize —
+    surrounding vmapped ops (losses, optimizer) stay batched.
+    """
+    wrapped = jax.custom_batching.custom_vmap(fn)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *bargs):
+        def elem(i):
+            sliced = [
+                jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+                if b else a
+                for a, b in zip(bargs, in_batched)
+            ]
+            return fn(*sliced)
+
+        out = jax.lax.map(elem, jnp.arange(axis_size))
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return wrapped(*args)
+
+
 def sdf_to_table(sdf: jax.Array) -> jax.Array:
     """(res, res, res) SDF -> contraction table Tt[j*res+k, i] = sdf[i,j,k]."""
     res = sdf.shape[0]
@@ -1185,7 +1218,8 @@ def render_depth_pallas_fwd(
 
     Numerics match :func:`sdfest_tpu.render.xla._render_forward` (same OBB
     test, termination rule and conventions); only the execution strategy
-    differs.
+    differs.  Under ``jax.vmap`` batch elements run sequentially (see
+    :func:`_sequential_vmap`).
 
     Temporal-coherence hooks (culling variant only):
 
@@ -1198,7 +1232,45 @@ def render_depth_pallas_fwd(
       (``t0`` actual start, ``t_min``/``t_max`` OBB interval) for warm-start
       bookkeeping across refinement iterations.
     """
-    interpret = _resolve_interpret(interpret)
+    impl = functools.partial(
+        _render_fwd_impl, camera=camera, threshold=threshold,
+        max_steps=max_steps, relaxation=relaxation, culling=culling,
+        bf16=bf16, aux=aux, adaptive=adaptive,
+        interpret=_resolve_interpret(interpret))
+    if t_init is None and skip is None:
+        return _sequential_vmap(
+            lambda s, p, q, i: impl(s, p, q, i, None, None),
+            sdf, position, orientation, inv_scale)
+    h, w = camera.height, camera.width
+    if t_init is None:
+        t_init = jnp.full((h, w), -1.0, jnp.float32)
+    if skip is None:
+        skip = jnp.zeros((h, w), jnp.float32)
+    return _sequential_vmap(
+        lambda s, p, q, i, ti, sk: impl(s, p, q, i, ti, sk),
+        sdf, position, orientation, inv_scale,
+        t_init.astype(jnp.float32), skip.astype(jnp.float32))
+
+
+def _render_fwd_impl(
+    sdf: jax.Array,
+    position: jax.Array,
+    orientation: jax.Array,
+    inv_scale: jax.Array,
+    t_init,
+    skip,
+    *,
+    camera: Camera,
+    threshold: float,
+    max_steps: int,
+    relaxation: float,
+    culling: bool,
+    bf16: bool,
+    aux: bool,
+    adaptive: bool,
+    interpret: bool,
+):
+    """Unbatched march body behind :func:`render_depth_pallas_fwd`."""
     res = sdf.shape[0]
     if res != RES:
         raise ValueError(f"Pallas renderer requires res={RES}, got {res}")
@@ -1266,7 +1338,8 @@ def render_depth_pallas_fwd(
     sprefetch = _compaction_prefetch(act_tile)
     # dynamic grid: exactly count steps run (inactive tiles are never even
     # swept — the former static-grid tail cost ~1.7 us/tile, ~2 ms/render
-    # at 640x480)
+    # at 640x480).  Safe only because vmap never batches this pallas_call
+    # (see _sequential_vmap / _compaction_prefetch).
     count = sprefetch[0]
 
     remap = lambda t, s: (s[1 + t], 0, 0)
@@ -1452,6 +1525,13 @@ def _compaction_prefetch(act_tile: jax.Array) -> jax.Array:
     the mapped tail (last active index repeated) plus the ``program_id <
     count`` kernel guard keep the kernels correct in interpret mode or if a
     static grid is ever used.
+
+    Dynamic grids are only safe because ``vmap`` never batches these
+    pallas calls: compiled vmap over a dynamic grid produced WRONG depths
+    on real TPU (3% of pixels from truncated/misassigned tiles) — one of
+    the two batched-Mosaic miscompiles that forced the sequential vmap rule
+    (:func:`_sequential_vmap`;
+    tests/test_tpu_compiled.py::test_compiled_render_under_vmap).
     """
     n = act_tile.shape[0]
     count = jnp.sum(act_tile.astype(jnp.int32))
@@ -1494,7 +1574,14 @@ def sample_sdf_pallas(
     Returns:
         (N,) interpolated values.
     """
-    interpret = _resolve_interpret(interpret)
+    impl = functools.partial(_sample_impl,
+                             interpret=_resolve_interpret(interpret))
+    if mask is None:
+        return _sequential_vmap(lambda s, p: impl(s, p, None), sdf, points)
+    return _sequential_vmap(impl, sdf, points, mask)
+
+
+def _sample_impl(sdf, points, mask, *, interpret: bool):
     res = sdf.shape[0]
     n = points.shape[0]
     pts, m, n_pad = _pad_points(points, mask, n, Q)
@@ -1545,7 +1632,14 @@ def sample_sdf_grad_pallas(
         Tuple of values (N,) and gradients (N, 3) w.r.t. the normalized
         coordinates.
     """
-    interpret = _resolve_interpret(interpret)
+    impl = functools.partial(_sample_grad_impl,
+                             interpret=_resolve_interpret(interpret))
+    if mask is None:
+        return _sequential_vmap(lambda s, p: impl(s, p, None), sdf, points)
+    return _sequential_vmap(impl, sdf, points, mask)
+
+
+def _sample_grad_impl(sdf, points, mask, *, interpret: bool):
     res = sdf.shape[0]
     n = points.shape[0]
     # half-size tiles: the three (QG, res^2) A-matrices plus iota scratch
@@ -1668,7 +1762,13 @@ def scatter_sdf_grad_pallas(
         (res, res, res) gradient grid (dense matmul accumulation, no
         scatter primitives).
     """
-    interpret = _resolve_interpret(interpret)
+    return _sequential_vmap(
+        functools.partial(_scatter_impl, res=res,
+                          interpret=_resolve_interpret(interpret)),
+        points, cotangents)
+
+
+def _scatter_impl(points, cotangents, *, res: int, interpret: bool):
     n = points.shape[0]
     pts, _, n_pad = _pad_points(points, None, n, Q)
     cot = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
