@@ -56,6 +56,25 @@ WJ = int(_os0.environ.get("SDFEST_WJ", 16))  # y-cell window for the windowed fi
 # slice a (WJ*res, res) table window with pl.ds, shrinking both the lerp-row
 # build and the matmul contraction 4x.  Wide steps fall back to the full
 # table inside a lax.cond.
+WZ = int(_os0.environ.get("SDFEST_WZ", 16))  # z-cell window for the two-axis
+# (y,z) fine-sample tier: when the active rays' z-cells also fit a WZ-cell
+# aligned band, the march contracts against a (WJ*WZ, res) slice of the
+# shifted-variant table (:func:`zwin_table`) — a 4x narrower row build and
+# 4x shallower matmul than the y-window tier.
+_ZSHIFT = int(_os0.environ.get("SDFEST_ZSHIFT", 8))  # z-band start
+# alignment (multiple of the fp32 sublane tile); variants overlap by
+# WZ - _ZSHIFT cells so any klo maps to a covering aligned band.
+# _ZSHIFT=4 (13 variants, 3.25 MB) measured ~1% faster but blows the
+# 16 MiB scoped-vmem budget under the sequential-vmap lax.map wrapper.
+_ZWIN = int(_os0.environ.get("SDFEST_ZWIN", 1))  # A/B switch for the tier
+_STALE = int(_os0.environ.get("SDFEST_STALE", 0))  # stale-decision software
+# pipelining (v2 march): carry the branch-select/window scalars in the
+# while carry, computed mid-iteration so their reduce->scalar latency
+# overlaps the remaining sub-steps' vector work.  MEASURED DEAD END on
+# v5e (sphere 10.7 -> 16.8 ms, mug 12.9 -> 19.6): duplicating the decide
+# block into every switch branch spills, and the scalar latency it hides
+# is smaller than the spill cost.  Kept as an A/B knob, default OFF.
+NVZ = (RES - WZ) // _ZSHIFT + 1  # number of shifted z-band variants
 _UNROLL = int(_os0.environ.get("SDFEST_UNROLL", 3))  # fine sub-steps per while iteration in the v2 culling march:
 # amortizes the per-iteration scalar-sync/branch overhead (~6-9 us on v5e,
 # larger than the sample matmul) across several dependent samples
@@ -175,6 +194,25 @@ def coarse_min_table(sdf: jax.Array, nc: int = NC) -> jax.Array:
     return jnp.transpose(stacked.reshape(2 * nc, nc * nc), (1, 0))
 
 
+def zwin_table(sdf: jax.Array) -> jax.Array:
+    """Shifted z-band variant table for the two-axis (y,z) window tier.
+
+    Variant ``v`` covers fine z-cells ``[v*_ZSHIFT, v*_ZSHIFT + WZ)``; row
+    ``v*(res*WZ) + j*WZ + kr`` holds ``sdf[:, j, v*_ZSHIFT + kr]`` along
+    lanes ``i``.  A (y, z) window with an _ZSHIFT-aligned z start is then
+    ONE contiguous, sublane-aligned ``pl.ds`` row slice of ``WJ*WZ`` rows —
+    a rank-2 construct Mosaic compiles reliably.  (Rank-3 table refs were
+    probed on v5e and are a hazard class: leading-dim dynamic slices
+    miscompile silently and two-axis slices SIGABRT the compiler.)
+    """
+    res = sdf.shape[0]
+    bands = [
+        jnp.transpose(sdf[:, :, v * _ZSHIFT:v * _ZSHIFT + WZ], (1, 2, 0))
+        for v in range(NVZ)
+    ]
+    return jnp.concatenate(bands, axis=0).reshape(NVZ * res * WZ, res)
+
+
 def _one_hot_pair(base: jax.Array, frac: jax.Array, res: int) -> jax.Array:
     """(Q, 1) base/frac -> 2-sparse lerp row (Q, res)."""
     q = base.shape[0]
@@ -261,6 +299,13 @@ def _win_iota(q: int, res: int):
 
 
 
+def _zwin_lane_fields(q: int):
+    """Loop-invariant (lane // WZ, lane % WZ) fields for (q, WJ*WZ) rows."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, WJ * WZ), 1)
+    jzw = lane // WZ
+    return jzw, lane - jzw * WZ
+
+
 def _fine_sample(
     tt_ref,
     pts: jax.Array,
@@ -269,17 +314,20 @@ def _fine_sample(
     jk,
     jkw,
     precision=_MM_PRECISION,
+    ttz_ref=None,
 ) -> jax.Array:
-    """Trilinear sample with a dynamically sliced y-cell window.
+    """Trilinear sample with dynamically sliced cell windows.
 
     When the active rays' y base cells span <= :data:`WJ` cells (the common
     case for a spatially coherent march tile), contract against the
     ``tt_ref[j0*res : (j0+WJ)*res]`` window — a 4x shallower matmul and 4x
-    narrower lerp-row build.  Falls back to the full-table
-    :func:`_sample_tile` inside a ``lax.cond`` otherwise.  Values for
-    in-window rays are the same sums as the full path (up to contraction
-    order); out-of-window *inactive* rays produce 0, which every caller
-    masks with ``active``.
+    narrower lerp-row build.  With ``ttz_ref`` (a :func:`zwin_table`), a
+    two-axis (y, z) window tier runs first when the z cells also fit an
+    aligned WZ band: one contiguous ``WJ*WZ``-row slice, another 4x
+    narrower.  Falls back to the full-table :func:`_sample_tile` inside
+    ``lax.cond`` otherwise.  Values for in-window rays are the same sums as
+    the full path (up to contraction order); out-of-window *inactive* rays
+    produce 0, which every caller masks with ``active``.
     """
     (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
     byi = by.astype(jnp.int32)
@@ -294,10 +342,10 @@ def _fine_sample(
     v64 = jnp.where(k_iota == bzi, 1.0 - fz, 0.0) + jnp.where(
         k_iota == bzi + 1, fz, 0.0
     )
+    j0 = jnp.minimum(jlo, res - WJ)
+    rel = byi - j0
 
     def win(_):
-        j0 = jnp.minimum(jlo, res - WJ)
-        rel = byi - j0
         u = jnp.where(jkw == rel, 1.0 - fy, 0.0) + jnp.where(
             jkw == rel + 1, fy, 0.0
         )
@@ -317,7 +365,29 @@ def _fine_sample(
                     precision=precision)
         return jnp.sum(m * xx, axis=1, keepdims=True)
 
-    return jax.lax.cond(ok, win, full, 0)
+    y_tier = lambda _: jax.lax.cond(ok, win, full, 0)
+    if ttz_ref is None or not _ZWIN:
+        return y_tier(0)
+
+    k0, kz_ok = _zwindow_bounds(bzi, act, res)
+    yz_ok = jnp.logical_and(ok, kz_ok)
+    jzw, kzw = _zwin_lane_fields(q)
+
+    def yz(_):
+        row0 = (k0 // _ZSHIFT) * (res * WZ) + j0 * WZ
+        tw = ttz_ref[pl.ds(row0, WJ * WZ), :]
+        rk = bzi - k0
+        u = jnp.where(jzw == rel, 1.0 - fy, 0.0) + jnp.where(
+            jzw == rel + 1, fy, 0.0
+        )
+        vz = jnp.where(kzw == rk, 1.0 - fz, 0.0) + jnp.where(
+            kzw == rk + 1, fz, 0.0
+        )
+        m = jnp.dot(u * vz, tw, preferred_element_type=jnp.float32,
+                    precision=precision)
+        return jnp.sum(m * xx, axis=1, keepdims=True)
+
+    return jax.lax.cond(yz_ok, yz, y_tier, 0)
 
 
 def _sample_tile(tt_ref, pts: jax.Array, res: int, jk=None,
@@ -446,6 +516,7 @@ def _obb_interval_tile(dirs_o: jax.Array, origin_o: jax.Array, scale):
 def _march_kernel_body(
     tt_ref,
     ttc_ref,  # (nc^2, nc) coarse culling table (used when culling)
+    ttz_ref,  # (NVZ*res*WZ, res) shifted z-band table (v2 yz-window tier)
     dx_ref,  # (1, Q, 1) camera-frame ray direction x (camera-constant)
     dy_ref,  # (1, Q, 1) camera-frame ray direction y (camera-constant)
     dz_ref,  # (1, Q, 1) camera-frame d_z per ray (camera-constant)
@@ -761,23 +832,63 @@ def _march_kernel_body(
         k_iota = jax.lax.broadcasted_iota(
             jnp.int32, (dirs_o.shape[0], res), 1
         )
+        if _ZWIN:
+            # loop-invariant lane fields for the (Q, WJ*WZ) yz-window rows;
+            # the z factor is built at full row width with a modular lane
+            # field (a narrow (Q, WZ) build + pltpu.repeat from a 16-lane
+            # array lowers pathologically: +15 ms/render, measured)
+            jzw, kzw = _zwin_lane_fields(dirs_o.shape[0])
 
-        def body(carry):
-            t, depth, active, step, stepped, d_prev, omega = carry
-            pts = (origin_o + t * dirs_o) * inv_scale
-            cd, _ = _coarse_lookup(ttc_ref, pts, NC)
-            cd = cd * scale
+        def decide(t, active):
+            """Branch-select + window scalars from the current ray state.
+
+            Returns ``(sel, j0, k0, cd)``.  In stale mode (``_STALE``) this
+            runs mid-iteration — after the first sub-step — so the
+            reduce->scalar latency of its reductions overlaps the remaining
+            sub-steps' vector work instead of stalling the next dispatch;
+            the decision is then up to ``_UNROLL - 1`` sub-steps positionally
+            stale, which is safe: both branch kinds are safe for any ray
+            state (bound steps cannot skip surface; fine samples are exact
+            and out-of-window rays stall via the valid predicate).
+            """
+            p = (origin_o + t * dirs_o) * inv_scale
+            cdd, _ = _coarse_lookup(ttc_ref, p, NC)
+            cdd = cdd * scale
             # 1e-5 floor prevents zero-progress bound steps near t ~ 0
             near = jnp.sum(
-                active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
+                active * jnp.where(cdd < threshold * t + 1e-5, 1.0, 0.0)
             )
-            byi = _base_frac(pts[:, 1:2], res)[0].astype(jnp.int32)
+            byi = _base_frac(p[:, 1:2], res)[0].astype(jnp.int32)
             j0, win_ok = _window_bounds(byi, active > 0.0, res)
-            sel = jnp.where(near > 0.0, jnp.where(win_ok, 1, 2), 0)
+            if _ZWIN:
+                bzi0 = _base_frac(p[:, 2:3], res)[0].astype(jnp.int32)
+                k0, kz_ok = _zwindow_bounds(bzi0, active > 0.0, res)
+                yz_ok = jnp.logical_and(win_ok, kz_ok)
+                sel = jnp.where(
+                    near > 0.0,
+                    jnp.where(yz_ok, 1, jnp.where(win_ok, 2, 3)),
+                    0,
+                )
+            else:
+                k0 = jnp.int32(0)
+                sel = jnp.where(near > 0.0, jnp.where(win_ok, 1, 2), 0)
+            return sel, j0, k0, cdd
+
+        def body(carry):
+            if _STALE:
+                (t, depth, active, step, stepped, d_prev, omega,
+                 sel, j0, k0) = carry
+                cd = None  # the coarse branch recomputes its bound fresh
+            else:
+                t, depth, active, step, stepped, d_prev, omega = carry
+                sel, j0, k0, cd = decide(t, active)
 
             def substeps(t, depth, active, stepped, d_prev, omega, sample):
-                for _ in range(_UNROLL):
+                dec = ()
+                for i in range(_UNROLL):
                     p = (origin_o + t * dirs_o) * inv_scale
+                    if _STALE and i == min(1, _UNROLL - 1):
+                        dec = decide(t, active)[:3]
                     dist, valid = sample(p)
                     upd = active * valid
                     if adaptive:
@@ -819,7 +930,7 @@ def _march_kernel_body(
                     # per-sub-step deactivation: a ray past t_max must not
                     # sample (extrapolated values could false-hit)
                     active = active * jnp.where(t < t_max, 1.0, 0.0)
-                return t, depth, active, stepped, d_prev, omega
+                return (t, depth, active, stepped, d_prev, omega) + dec
 
             def coarse_branch(t, depth, active, stepped, d_prev, omega):
                 # bound steps are always safe (cd lower-bounds the field),
@@ -829,8 +940,18 @@ def _march_kernel_body(
                 # iteration's fine/coarse decision (no hits ever happen
                 # here, so no t_max re-check is needed).  A bound step is a
                 # certified plain step, so it restarts the overstep chain.
+                if _STALE:
+                    # the carried decision chose this branch; the bound
+                    # itself must be fresh (a stale bound is not safe to
+                    # step by after the rays have moved)
+                    p = (origin_o + t * dirs_o) * inv_scale
+                    cd0, _ = _coarse_lookup(ttc_ref, p, NC)
+                    cd0 = cd0 * scale
+                else:
+                    cd0 = cd
                 moved = active > 0.0
-                t = jnp.where(moved, t + cd, t)
+                t = jnp.where(moved, t + cd0, t)
+                dec = decide(t, active)[:3] if _STALE else ()
                 for _ in range(_UNROLL_COARSE - 1):
                     p = (origin_o + t * dirs_o) * inv_scale
                     cd2, _ = _coarse_lookup(ttc_ref, p, NC)
@@ -839,7 +960,7 @@ def _march_kernel_body(
                     t = jnp.where(active * far > 0.0, t + cd2, t)
                 if adaptive:
                     stepped = jnp.where(moved, 0.0, stepped)
-                return t, depth, active, stepped, d_prev, omega
+                return (t, depth, active, stepped, d_prev, omega) + dec
 
             def fine_win_branch(t, depth, active, stepped, d_prev, omega):
                 tw = tt_ref[pl.ds(j0 * res, WJ * res), :]
@@ -869,27 +990,101 @@ def _march_kernel_body(
                 return substeps(t, depth, active, stepped, d_prev, omega,
                                 sample)
 
-            def fine_full_branch(t, depth, active, stepped, d_prev, omega):
+            def fine_yz_branch(t, depth, active, stepped, d_prev, omega):
+                # two-axis window: one contiguous WJ*WZ-row slice of the
+                # shifted-variant table = the (y, z) sub-box
+                # [j0, j0+WJ) x [k0, k0+WZ); 4x narrower row build and 4x
+                # shallower matmul than the y-window tier
+                row0 = (k0 // _ZSHIFT) * (res * WZ) + j0 * WZ
+                tw = ttz_ref[pl.ds(row0, WJ * WZ), :]
+
                 def sample(p):
-                    return _sample_tile(tt_ref, p, res, jk) * scale, 1.0
+                    (bx, by, bz), (fx, fy, fz) = _bases_fracs(p, res)
+                    rj = by.astype(jnp.int32) - j0
+                    rk = bz.astype(jnp.int32) - k0
+                    valid = jnp.where(
+                        jnp.logical_and(rj >= 0, rj <= WJ - 2), 1.0, 0.0
+                    ) * jnp.where(
+                        jnp.logical_and(rk >= 0, rk <= WZ - 2), 1.0, 0.0
+                    )
+                    xx = _one_hot_pair(bx, fx, res)
+                    u = jnp.where(jzw == rj, 1.0 - fy, 0.0) + jnp.where(
+                        jzw == rj + 1, fy, 0.0
+                    )
+                    vz = jnp.where(kzw == rk, 1.0 - fz, 0.0) + jnp.where(
+                        kzw == rk + 1, fz, 0.0
+                    )
+                    a = u * vz
+                    m = jnp.dot(a, tw, preferred_element_type=jnp.float32,
+                                precision=_MM_PRECISION)
+                    return (
+                        jnp.sum(m * xx, axis=1, keepdims=True) * scale,
+                        valid,
+                    )
 
                 return substeps(t, depth, active, stepped, d_prev, omega,
                                 sample)
 
-            t, depth, active, stepped, d_prev, omega = jax.lax.switch(
-                sel, [coarse_branch, fine_win_branch, fine_full_branch],
+            def fine_full_branch(t, depth, active, stepped, d_prev, omega):
+                # full-coverage fine step as res/WJ static quarter-window
+                # matmuls accumulated sequentially: bitwise the same sums
+                # as one (Q, res^2) row (each row block contributes its own
+                # one-hot weights), but peak scoped-VMEM scratch is one
+                # (Q, WJ*res) quarter (1 MiB) instead of 4 MiB — the
+                # monolithic row overflowed the 16 MiB budget once the
+                # zwin table shipped.  Reuses the jkw lane field per
+                # quarter (rel is shifted by the quarter anchor).
+                def sample(p):
+                    (bx, by, bz), (fx, fy, fz) = _bases_fracs(p, res)
+                    byq = by.astype(jnp.int32)
+                    xx = _one_hot_pair(bx, fx, res)
+                    bzq = bz.astype(jnp.int32)
+                    v64 = jnp.where(
+                        k_iota == bzq, 1.0 - fz, 0.0
+                    ) + jnp.where(k_iota == bzq + 1, fz, 0.0)
+                    rv = pltpu.repeat(v64, WJ, axis=1)
+                    m = jnp.zeros((byq.shape[0], res), jnp.float32)
+                    for h in range(res // WJ):
+                        rel = byq - h * WJ
+                        u = jnp.where(jkw == rel, 1.0 - fy, 0.0) + jnp.where(
+                            jkw == rel + 1, fy, 0.0
+                        )
+                        m = m + jnp.dot(
+                            u * rv, tt_ref[pl.ds(h * WJ * res, WJ * res), :],
+                            preferred_element_type=jnp.float32,
+                            precision=_MM_PRECISION,
+                        )
+                    return (
+                        jnp.sum(m * xx, axis=1, keepdims=True) * scale,
+                        1.0,
+                    )
+
+                return substeps(t, depth, active, stepped, d_prev, omega,
+                                sample)
+
+            branches = (
+                [coarse_branch, fine_yz_branch, fine_win_branch,
+                 fine_full_branch]
+                if _ZWIN
+                else [coarse_branch, fine_win_branch, fine_full_branch]
+            )
+            out = jax.lax.switch(
+                sel, branches,
                 t, depth, active, stepped, d_prev, omega,
             )
+            t, depth, active, stepped, d_prev, omega = out[:6]
             active = active * jnp.where(t < t_max, 1.0, 0.0)
-            return t, depth, active, step + 1, stepped, d_prev, omega
+            return (t, depth, active, step + 1, stepped, d_prev,
+                    omega) + tuple(out[6:])
 
         zeros = jnp.zeros_like(t0)
-        _, depth, _, _, _, _, _ = jax.lax.while_loop(
-            cond, body,
-            (t0, zeros, active0, 0, zeros, zeros,
-             jnp.full_like(t0, _OMEGA_INIT if adaptive else 1.0)),
-        )
-        depth_ref[0] = depth
+        carry0 = (t0, zeros, active0, 0, zeros, zeros,
+                  jnp.full_like(t0, _OMEGA_INIT if adaptive else 1.0))
+        if _STALE:
+            sel0, j00, k00, _ = decide(t0, active0)
+            carry0 = carry0 + (sel0, j00, k00)
+        out = jax.lax.while_loop(cond, body, carry0)
+        depth_ref[0] = out[1]
         return
     if relaxation <= 1.0 and culling:
         # hierarchical empty-space culling: every step first does a cheap
@@ -1319,6 +1514,11 @@ def _render_fwd_impl(
         if culling
         else jnp.zeros((NC * NC, 2 * NC), dtype)
     )
+    # shifted z-band table for the v2 yz-window tier (dummy when unused)
+    use_zwin = bool(_ZWIN) and culling and relaxation <= 1.0 and not bf16
+    table_z = (
+        zwin_table(sdf) if use_zwin else jnp.zeros((8, res), dtype)
+    )
     scalars = jnp.stack(
         [inv_scale.astype(dtype), jnp.asarray(threshold, dtype)]
     ).reshape(1, 2)
@@ -1365,6 +1565,8 @@ def _render_fwd_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NC * NC, 2 * NC), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_z.shape, lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
             tile_spec,
             tile_spec,
             tile_spec,
@@ -1389,6 +1591,7 @@ def _render_fwd_impl(
         sprefetch,
         table,
         table_c,
+        table_z,
         dx_t,
         dy_t,
         dz_t,
@@ -1425,13 +1628,15 @@ def _render_fwd_impl(
 # ---------------------------------------------------------------------------
 
 
-def _sample_kernel(s_ref, tt_ref, pts_ref, mask_ref, out_ref, *, res: int):
+def _sample_kernel(s_ref, tt_ref, ttz_ref, pts_ref, mask_ref, out_ref,
+                   *, res: int):
     @pl.when(pl.program_id(0) < s_ref[0])
     def _():
         mask = mask_ref[0]
         q = pts_ref[0].shape[0]
         out_ref[0] = _fine_sample(
-            tt_ref, pts_ref[0], mask, res, None, _win_iota(q, res)
+            tt_ref, pts_ref[0], mask, res, None, _win_iota(q, res),
+            ttz_ref=ttz_ref,
         ) * mask
 
 
@@ -1443,12 +1648,28 @@ def _window_bounds(byi: jax.Array, act: jax.Array, res: int):
     return jnp.minimum(jlo, res - WJ), ok
 
 
-def _sample_grad_tile_win(tt_ref, pts: jax.Array, active: jax.Array, res: int):
+def _zwindow_bounds(bzi: jax.Array, act: jax.Array, res: int):
+    """(k0, ok): _ZSHIFT-aligned WZ-cell z-band covering the active cells.
+
+    The start is aligned down so it indexes a :func:`zwin_table` variant;
+    alignment costs up to ``_ZSHIFT - 1`` cells of span budget (coverage is
+    checked against ``k0``, not ``klo``).
+    """
+    klo = jnp.min(jnp.where(act, bzi, res))
+    khi = jnp.max(jnp.where(act, bzi, -1))
+    k0 = jnp.minimum((klo // _ZSHIFT) * _ZSHIFT, res - WZ)
+    ok = jnp.logical_and(khi - k0 <= WZ - 2, khi >= 0)
+    return k0, ok
+
+
+def _sample_grad_tile_win(tt_ref, pts: jax.Array, active: jax.Array,
+                          res: int, ttz_ref=None):
     """Windowed value + spatial gradient; falls back to the full table.
 
     Same outputs as :func:`_sample_grad_tile`; the three A-matrix matmuls
     (value, d/dy, d/dz) share one dynamically sliced table window when the
-    active rows' y-cells span <= :data:`WJ` cells.
+    active rows' y-cells span <= :data:`WJ` cells — or, with ``ttz_ref``, a
+    two-axis (y, z) :func:`zwin_table` window when the z cells also fit.
     """
     (bx, by, bz), (fx, fy, fz) = _bases_fracs(pts, res)
     byi = by.astype(jnp.int32)
@@ -1504,15 +1725,45 @@ def _sample_grad_tile_win(tt_ref, pts: jax.Array, active: jax.Array, res: int):
                                precision=_MM_PRECISION)
         return emit(mm(u * rv), mm(du * rv), mm(u * rdv))
 
-    return jax.lax.cond(ok, win, full, 0)
+    y_tier = lambda _: jax.lax.cond(ok, win, full, 0)
+    if ttz_ref is None or not _ZWIN:
+        return y_tier(0)
+
+    k0, kz_ok = _zwindow_bounds(bzi, active > 0.0, res)
+    yz_ok = jnp.logical_and(ok, kz_ok)
+    jzw, kzw = _zwin_lane_fields(q)
+
+    def yz(_):
+        row0 = (k0 // _ZSHIFT) * (res * WZ) + j0 * WZ
+        tw = ttz_ref[pl.ds(row0, WJ * WZ), :]
+        rel = byi - j0
+        rk = bzi - k0
+        u = jnp.where(jzw == rel, 1.0 - fy, 0.0) + jnp.where(
+            jzw == rel + 1, fy, 0.0
+        )
+        du = jnp.where(jzw == rel, -1.0, 0.0) + jnp.where(
+            jzw == rel + 1, 1.0, 0.0
+        )
+        vz = jnp.where(kzw == rk, 1.0 - fz, 0.0) + jnp.where(
+            kzw == rk + 1, fz, 0.0
+        )
+        dvz = jnp.where(kzw == rk, -1.0, 0.0) + jnp.where(
+            kzw == rk + 1, 1.0, 0.0
+        )
+        mm = lambda a: jnp.dot(a, tw, preferred_element_type=jnp.float32,
+                               precision=_MM_PRECISION)
+        return emit(mm(u * vz), mm(du * vz), mm(u * dvz))
+
+    return jax.lax.cond(yz_ok, yz, y_tier, 0)
 
 
-def _sample_grad_kernel(s_ref, tt_ref, pts_ref, mask_ref, out_ref, grad_ref,
-                        *, res: int):
+def _sample_grad_kernel(s_ref, tt_ref, ttz_ref, pts_ref, mask_ref, out_ref,
+                        grad_ref, *, res: int):
     @pl.when(pl.program_id(0) < s_ref[0])
     def _():
         mask = mask_ref[0]
-        value, grad = _sample_grad_tile_win(tt_ref, pts_ref[0], mask, res)
+        value, grad = _sample_grad_tile_win(tt_ref, pts_ref[0], mask, res,
+                                            ttz_ref=ttz_ref)
         out_ref[0] = value * mask
         grad_ref[0] = grad * mask
 
@@ -1590,6 +1841,7 @@ def _sample_impl(sdf, points, mask, *, interpret: bool):
     act_tile = jnp.any(m_t[:, :, 0] > 0.0, axis=1)
     sprefetch = _compaction_prefetch(act_tile)
     remap = lambda t, s: (s[1 + t], 0, 0)
+    table_z = zwin_table(sdf.astype(jnp.float32))
     out = pl.pallas_call(
         functools.partial(_sample_kernel, res=res),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1597,6 +1849,8 @@ def _sample_impl(sdf, points, mask, *, interpret: bool):
             grid=(sprefetch[0],),
             in_specs=[
                 pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(table_z.shape, lambda t, s: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Q, 3), remap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Q, 1), remap, memory_space=pltpu.VMEM),
@@ -1607,8 +1861,8 @@ def _sample_impl(sdf, points, mask, *, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n_tiles, Q, 1), jnp.float32),
         interpret=interpret,
     )(sprefetch,
-      sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, Q, 3),
-      m_t)
+      sdf_to_table(sdf.astype(jnp.float32)), table_z,
+      pts.reshape(n_tiles, Q, 3), m_t)
     # never-visited tiles are uninitialized; their rows are all-masked -> 0
     row_act = jnp.broadcast_to(act_tile[:, None], (n_tiles, Q)).reshape(n_pad)
     return jnp.where(row_act, out.reshape(n_pad), 0.0)[:n]
@@ -1651,6 +1905,7 @@ def _sample_grad_impl(sdf, points, mask, *, interpret: bool):
     act_tile = jnp.any(m_t[:, :, 0] > 0.0, axis=1)
     sprefetch = _compaction_prefetch(act_tile)
     remap = lambda t, s: (s[1 + t], 0, 0)
+    table_z = zwin_table(sdf.astype(jnp.float32))
     value, grad = pl.pallas_call(
         functools.partial(_sample_grad_kernel, res=res),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1658,6 +1913,8 @@ def _sample_grad_impl(sdf, points, mask, *, interpret: bool):
             grid=(sprefetch[0],),
             in_specs=[
                 pl.BlockSpec((res * res, res), lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(table_z.shape, lambda t, s: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, QG, 3), remap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, QG, 1), remap, memory_space=pltpu.VMEM),
@@ -1673,8 +1930,8 @@ def _sample_grad_impl(sdf, points, mask, *, interpret: bool):
         ),
         interpret=interpret,
     )(sprefetch,
-      sdf_to_table(sdf.astype(jnp.float32)), pts.reshape(n_tiles, QG, 3),
-      m_t)
+      sdf_to_table(sdf.astype(jnp.float32)), table_z,
+      pts.reshape(n_tiles, QG, 3), m_t)
     row_act = jnp.broadcast_to(act_tile[:, None], (n_tiles, QG)).reshape(n_pad)
     value = jnp.where(row_act, value.reshape(n_pad), 0.0)
     grad = jnp.where(row_act[:, None], grad.reshape(n_pad, 3), 0.0)
