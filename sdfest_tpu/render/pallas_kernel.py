@@ -75,6 +75,27 @@ _STALE = int(_os0.environ.get("SDFEST_STALE", 0))  # stale-decision software
 # block into every switch branch spills, and the scalar latency it hides
 # is smaller than the spill cost.  Kept as an A/B knob, default OFF.
 NVZ = (RES - WZ) // _ZSHIFT + 1  # number of shifted z-band variants
+_DECIDE_EVERY = int(_os0.environ.get("SDFEST_DECIDE_EVERY", 1))  # v2 march:
+# run the branch-select/window decision only every Nth while iteration and
+# carry (sel, j0, k0) in between.  Stale decisions are SAFE (any branch is
+# safe for any ray state; stale windows only stall rays via the valid
+# predicates, and the coarse branch always refreshes its bound before
+# stepping) — this trades decide cost (a coarse lookup + ~6 reduce->scalar
+# syncs) against extra stall iterations from staler windows.  MEASURED
+# DEAD END on v5e (=2: sphere 9.5 -> 12.3 ms, mug 11.2 -> 14.3): the three
+# extra scalar carries + per-iteration cond cost more than the skipped
+# decides save.  Kept as an A/B knob, default 1 (off).
+_NOFALLBACK = int(_os0.environ.get("SDFEST_NOFALLBACK", 0))  # v2 march:
+# drop the y-tier/full-table fallback branches and the window-validity
+# (jhi/khi) reduces: near tiles ALWAYS take the yz-window branch, anchored
+# at the lowest active (y, z) cells; rays outside the window stall via the
+# valid predicate until the window walks onto them (the anchor rays always
+# progress, so no livelock).  Halves decide's reduce->scalar syncs and
+# shrinks the switch to 2 branches, at the cost of stall iterations on
+# tiles whose active rays span more than a window.  MEASURED DEAD END on
+# v5e (sphere 9.5 -> 11.6 ms, mug 11.2 -> 13.3): the stall iterations on
+# wide tiles cost ~2 ms, far more than the two skipped reduces save.
+# Kept as an A/B knob, default off.
 _UNROLL = int(_os0.environ.get("SDFEST_UNROLL", 3))  # fine sub-steps per while iteration in the v2 culling march:
 # amortizes the per-iteration scalar-sync/branch overhead (~6-9 us on v5e,
 # larger than the sample matmul) across several dependent samples
@@ -221,6 +242,26 @@ def _one_hot_pair(base: jax.Array, frac: jax.Array, res: int) -> jax.Array:
     return jnp.where(iota == b, 1.0 - frac, 0.0) + jnp.where(
         iota == b + 1, frac, 0.0
     )
+
+
+def _lerp_pair_tent(xf: jax.Array, iota_f: jax.Array) -> jax.Array:
+    """Tent-form lerp pair: ``max(0, 1 - |iota_f - xf|)`` (arithmetic build).
+
+    One fewer VPU op per factor than the compare+select pair build
+    (sub/abs/rsub/max vs eq/sel/eq/sel/add) — measurable because the march
+    spends most of its time BUILDING (Q, K) lerp rows.  Semantics caveats:
+
+    - ``xf = base + frac`` reconstitutes the cell coordinate, so weights
+      carry ~1 ulp-of-``res`` (~4e-6) rounding vs the exact pair — within
+      march stepping noise, NOT bitwise-equal to the XLA sampler.
+    - The tent is ZERO outside ``[base-1, base+1]``: no linear
+      extrapolation.  Only safe for MARCH samples (points certified inside
+      the volume by the OBB interval); the loss/VJP sample kernels must
+      keep the compare-form pair (:func:`_one_hot_pair`) because their
+      query points can sit outside the volume where the reference/XLA
+      semantics are constant-slope extrapolation.
+    """
+    return jnp.maximum(0.0, 1.0 - jnp.abs(iota_f - xf))
 
 
 def _d_one_hot_pair(base: jax.Array, res: int) -> jax.Array:
@@ -430,13 +471,16 @@ def _sample_grad_tile(tt_ref, pts: jax.Array, res: int):
     return value, jnp.concatenate([gx, gy, gz], axis=1)
 
 
-def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int):
+def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int, need_max: bool = True):
     """Piecewise-constant lookup of the coarse bound tables; 2 x (Q, 1).
 
-    Same one-hot-matmul factorization as :func:`_sample_tile`, but with
-    single-cell one-hots (no interpolation) against the tiny (nc^2, 2nc)
-    table — roughly an order of magnitude cheaper than a fine sample.
-    Returns (lower bound, max |value| in the cell window).
+    Same one-hot-matmul factorization as :func:`_sample_tile`, but with a
+    single COMBINED-INDEX one-hot (no interpolation): since the lookup is
+    piecewise constant, the (y, z) row selector is one compare of the wide
+    lane iota against ``ciy*nc + ciz`` — no separate y/z factor builds, no
+    ``pltpu.repeat``, no factor product.  Returns (lower bound, max
+    |value| in the cell window); pass ``need_max=False`` on non-bf16 paths
+    to skip the second extraction.
     """
     q = pts.shape[0]
     ci = jnp.clip(jnp.floor((pts + 1.0) * (nc * 0.5)), 0, nc - 1).astype(
@@ -445,13 +489,13 @@ def _coarse_lookup(ttc_ref, pts: jax.Array, nc: int):
     cix, ciy, ciz = ci[:, 0:1], ci[:, 1:2], ci[:, 2:3]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (q, nc), 1)
     oh_x = jnp.where(iota_n == cix, 1.0, 0.0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (q, nc * nc), 1) // nc
-    u = jnp.where(j_idx == ciy, 1.0, 0.0)
-    v_n = jnp.where(iota_n == ciz, 1.0, 0.0)
-    a = u * pltpu.repeat(v_n, nc, axis=1)  # (Q, nc^2)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (q, nc * nc), 1)
+    a = jnp.where(r_iota == ciy * nc + ciz, 1.0, 0.0)  # (Q, nc^2)
     m = jnp.dot(a, ttc_ref[:], preferred_element_type=jnp.float32,
                 precision=_MM_PRECISION)  # (Q, 2nc)
     cmin = jnp.sum(m[:, :nc] * oh_x, axis=1, keepdims=True)
+    if not need_max:
+        return cmin, None
     amax = jnp.sum(m[:, nc:] * oh_x, axis=1, keepdims=True)
     return cmin, amax
 
@@ -602,7 +646,7 @@ def _march_kernel_body(
             t, depth, active, step, *cor = carry
             cor = tuple(cor)
             pts = (origin_o + t * dirs_o) * inv_scale
-            cd, _ = _coarse_lookup(ttc_ref, pts, NC)
+            cd, _ = _coarse_lookup(ttc_ref, pts, NC, need_max=False)
             cd = cd * scale
             near = jnp.sum(
                 active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
@@ -635,7 +679,7 @@ def _march_kernel_body(
                 t = jnp.where(active > 0.0, t + cd, t)
                 for _ in range(_UNROLL_COARSE - 1):
                     p = (origin_o + t * dirs_o) * inv_scale
-                    cd2, _ = _coarse_lookup(ttc_ref, p, NC)
+                    cd2, _ = _coarse_lookup(ttc_ref, p, NC, need_max=False)
                     cd2 = cd2 * scale
                     far = jnp.where(cd2 >= threshold * t + 1e-5, 1.0, 0.0)
                     cor = corridor(cd2, t, active * far, cor)
@@ -721,7 +765,7 @@ def _march_kernel_body(
             t, depth, active, step, *cor = carry
             cor = tuple(cor)
             pts = (origin_o + t * dirs_o) * inv_scale
-            cd, amax = _coarse_lookup(ttc_ref, pts, NC)
+            cd, amax = _coarse_lookup(ttc_ref, pts, NC, need_max=bf16)
             cd = cd * scale
             near = jnp.sum(
                 active * jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
@@ -832,12 +876,20 @@ def _march_kernel_body(
         k_iota = jax.lax.broadcasted_iota(
             jnp.int32, (dirs_o.shape[0], res), 1
         )
+        # f32 lane fields for the tent-form lerp builds (march samples are
+        # OBB-certified in-volume, so the no-extrapolation tent is safe —
+        # see _lerp_pair_tent).  Converted once outside the while loop;
+        # k_iota_f doubles as the x lane field for the xx tents.
+        k_iota_f = k_iota.astype(jnp.float32)
+        jkw_f = jkw.astype(jnp.float32)
         if _ZWIN:
             # loop-invariant lane fields for the (Q, WJ*WZ) yz-window rows;
             # the z factor is built at full row width with a modular lane
             # field (a narrow (Q, WZ) build + pltpu.repeat from a 16-lane
             # array lowers pathologically: +15 ms/render, measured)
             jzw, kzw = _zwin_lane_fields(dirs_o.shape[0])
+            jzw_f = jzw.astype(jnp.float32)
+            kzw_f = kzw.astype(jnp.float32)
 
         def decide(t, active):
             """Branch-select + window scalars from the current ray state.
@@ -852,17 +904,33 @@ def _march_kernel_body(
             and out-of-window rays stall via the valid predicate).
             """
             p = (origin_o + t * dirs_o) * inv_scale
-            cdd, _ = _coarse_lookup(ttc_ref, p, NC)
+            cdd, _ = _coarse_lookup(ttc_ref, p, NC, need_max=False)
             cdd = cdd * scale
             # 1e-5 floor prevents zero-progress bound steps near t ~ 0
             near = jnp.sum(
                 active * jnp.where(cdd < threshold * t + 1e-5, 1.0, 0.0)
             )
+            act = active > 0.0
             byi = _base_frac(p[:, 1:2], res)[0].astype(jnp.int32)
-            j0, win_ok = _window_bounds(byi, active > 0.0, res)
+            if _NOFALLBACK and _ZWIN:
+                # stall-only windows: anchor y at the lowest active cell,
+                # then anchor z at the lowest z-cell among rays INSIDE the
+                # y-window — that ray is inside both windows, so at least
+                # one ray samples every iteration (no livelock; two
+                # independent anchors could have disjoint windows).  Skips
+                # the jhi/khi validity reduces entirely.
+                jlo = jnp.min(jnp.where(act, byi, res))
+                j0 = jnp.minimum(jlo, res - WJ)
+                bzi0 = _base_frac(p[:, 2:3], res)[0].astype(jnp.int32)
+                iny = jnp.logical_and(act, byi - j0 <= WJ - 2)
+                klo = jnp.min(jnp.where(iny, bzi0, res))
+                k0 = jnp.minimum((klo // _ZSHIFT) * _ZSHIFT, res - WZ)
+                sel = jnp.where(near > 0.0, 1, 0)
+                return sel, j0, k0, cdd
+            j0, win_ok = _window_bounds(byi, act, res)
             if _ZWIN:
                 bzi0 = _base_frac(p[:, 2:3], res)[0].astype(jnp.int32)
-                k0, kz_ok = _zwindow_bounds(bzi0, active > 0.0, res)
+                k0, kz_ok = _zwindow_bounds(bzi0, act, res)
                 yz_ok = jnp.logical_and(win_ok, kz_ok)
                 sel = jnp.where(
                     near > 0.0,
@@ -879,6 +947,24 @@ def _march_kernel_body(
                 (t, depth, active, step, stepped, d_prev, omega,
                  sel, j0, k0) = carry
                 cd = None  # the coarse branch recomputes its bound fresh
+            elif _DECIDE_EVERY > 1:
+                # carried-decision mode: decide runs only every Nth
+                # iteration; in between, the carried (sel, j0, k0) route
+                # the switch.  Staleness is safe for the same reason as
+                # _STALE (any branch is safe for any ray state; stale
+                # windows only stall rays via the valid predicates), and
+                # unlike _STALE the decide block stays at the body top —
+                # no duplication into the switch branches, so no spill.
+                # The coarse branch recomputes its bound fresh (a stale
+                # bound is not safe to step by).
+                (t, depth, active, step, stepped, d_prev, omega,
+                 sel, j0, k0) = carry
+                cd = None
+                sel, j0, k0 = jax.lax.cond(
+                    step % _DECIDE_EVERY == 0,
+                    lambda: decide(t, active)[:3],
+                    lambda: (sel, j0, k0),
+                )
             else:
                 t, depth, active, step, stepped, d_prev, omega = carry
                 sel, j0, k0, cd = decide(t, active)
@@ -940,12 +1026,12 @@ def _march_kernel_body(
                 # iteration's fine/coarse decision (no hits ever happen
                 # here, so no t_max re-check is needed).  A bound step is a
                 # certified plain step, so it restarts the overstep chain.
-                if _STALE:
+                if _STALE or _DECIDE_EVERY > 1:
                     # the carried decision chose this branch; the bound
                     # itself must be fresh (a stale bound is not safe to
                     # step by after the rays have moved)
                     p = (origin_o + t * dirs_o) * inv_scale
-                    cd0, _ = _coarse_lookup(ttc_ref, p, NC)
+                    cd0, _ = _coarse_lookup(ttc_ref, p, NC, need_max=False)
                     cd0 = cd0 * scale
                 else:
                     cd0 = cd
@@ -954,7 +1040,7 @@ def _march_kernel_body(
                 dec = decide(t, active)[:3] if _STALE else ()
                 for _ in range(_UNROLL_COARSE - 1):
                     p = (origin_o + t * dirs_o) * inv_scale
-                    cd2, _ = _coarse_lookup(ttc_ref, p, NC)
+                    cd2, _ = _coarse_lookup(ttc_ref, p, NC, need_max=False)
                     cd2 = cd2 * scale
                     far = jnp.where(cd2 >= threshold * t + 1e-5, 1.0, 0.0)
                     t = jnp.where(active * far > 0.0, t + cd2, t)
@@ -971,13 +1057,10 @@ def _march_kernel_body(
                     valid = jnp.where(
                         jnp.logical_and(rel >= 0, rel <= WJ - 2), 1.0, 0.0
                     )
-                    xx = _one_hot_pair(bx, fx, res)
-                    bzi = bz.astype(jnp.int32)
-                    v64 = jnp.where(k_iota == bzi, 1.0 - fz, 0.0) + jnp.where(
-                        k_iota == bzi + 1, fz, 0.0
-                    )
-                    u = jnp.where(jkw == rel, 1.0 - fy, 0.0) + jnp.where(
-                        jkw == rel + 1, fy, 0.0
+                    xx = _lerp_pair_tent(bx + fx, k_iota_f)
+                    v64 = _lerp_pair_tent(bz + fz, k_iota_f)
+                    u = _lerp_pair_tent(
+                        by + fy - j0.astype(jnp.float32), jkw_f
                     )
                     a = u * pltpu.repeat(v64, WJ, axis=1)
                     m = jnp.dot(a, tw, preferred_element_type=jnp.float32,
@@ -1007,12 +1090,12 @@ def _march_kernel_body(
                     ) * jnp.where(
                         jnp.logical_and(rk >= 0, rk <= WZ - 2), 1.0, 0.0
                     )
-                    xx = _one_hot_pair(bx, fx, res)
-                    u = jnp.where(jzw == rj, 1.0 - fy, 0.0) + jnp.where(
-                        jzw == rj + 1, fy, 0.0
+                    xx = _lerp_pair_tent(bx + fx, k_iota_f)
+                    u = _lerp_pair_tent(
+                        by + fy - j0.astype(jnp.float32), jzw_f
                     )
-                    vz = jnp.where(kzw == rk, 1.0 - fz, 0.0) + jnp.where(
-                        kzw == rk + 1, fz, 0.0
+                    vz = _lerp_pair_tent(
+                        bz + fz - k0.astype(jnp.float32), kzw_f
                     )
                     a = u * vz
                     m = jnp.dot(a, tw, preferred_element_type=jnp.float32,
@@ -1036,19 +1119,13 @@ def _march_kernel_body(
                 # quarter (rel is shifted by the quarter anchor).
                 def sample(p):
                     (bx, by, bz), (fx, fy, fz) = _bases_fracs(p, res)
-                    byq = by.astype(jnp.int32)
-                    xx = _one_hot_pair(bx, fx, res)
-                    bzq = bz.astype(jnp.int32)
-                    v64 = jnp.where(
-                        k_iota == bzq, 1.0 - fz, 0.0
-                    ) + jnp.where(k_iota == bzq + 1, fz, 0.0)
+                    yq = by + fy
+                    xx = _lerp_pair_tent(bx + fx, k_iota_f)
+                    v64 = _lerp_pair_tent(bz + fz, k_iota_f)
                     rv = pltpu.repeat(v64, WJ, axis=1)
-                    m = jnp.zeros((byq.shape[0], res), jnp.float32)
+                    m = jnp.zeros((by.shape[0], res), jnp.float32)
                     for h in range(res // WJ):
-                        rel = byq - h * WJ
-                        u = jnp.where(jkw == rel, 1.0 - fy, 0.0) + jnp.where(
-                            jkw == rel + 1, fy, 0.0
-                        )
+                        u = _lerp_pair_tent(yq - float(h * WJ), jkw_f)
                         m = m + jnp.dot(
                             u * rv, tt_ref[pl.ds(h * WJ * res, WJ * res), :],
                             preferred_element_type=jnp.float32,
@@ -1062,25 +1139,27 @@ def _march_kernel_body(
                 return substeps(t, depth, active, stepped, d_prev, omega,
                                 sample)
 
-            branches = (
-                [coarse_branch, fine_yz_branch, fine_win_branch,
-                 fine_full_branch]
-                if _ZWIN
-                else [coarse_branch, fine_win_branch, fine_full_branch]
-            )
+            if _NOFALLBACK and _ZWIN:
+                branches = [coarse_branch, fine_yz_branch]
+            elif _ZWIN:
+                branches = [coarse_branch, fine_yz_branch, fine_win_branch,
+                            fine_full_branch]
+            else:
+                branches = [coarse_branch, fine_win_branch, fine_full_branch]
             out = jax.lax.switch(
                 sel, branches,
                 t, depth, active, stepped, d_prev, omega,
             )
             t, depth, active, stepped, d_prev, omega = out[:6]
             active = active * jnp.where(t < t_max, 1.0, 0.0)
+            tail = (sel, j0, k0) if _DECIDE_EVERY > 1 else tuple(out[6:])
             return (t, depth, active, step + 1, stepped, d_prev,
-                    omega) + tuple(out[6:])
+                    omega) + tail
 
         zeros = jnp.zeros_like(t0)
         carry0 = (t0, zeros, active0, 0, zeros, zeros,
                   jnp.full_like(t0, _OMEGA_INIT if adaptive else 1.0))
-        if _STALE:
+        if _STALE or _DECIDE_EVERY > 1:
             sel0, j00, k00, _ = decide(t0, active0)
             carry0 = carry0 + (sel0, j00, k00)
         out = jax.lax.while_loop(cond, body, carry0)
@@ -1103,7 +1182,7 @@ def _march_kernel_body(
         def body(carry):
             t, depth, active, step = carry
             pts = (origin_o + t * dirs_o) * inv_scale
-            cd, amax = _coarse_lookup(ttc_ref, pts, NC)
+            cd, amax = _coarse_lookup(ttc_ref, pts, NC, need_max=bf16)
             cd = cd * scale
             # 1e-5 floor prevents zero-progress bound steps near t ~ 0
             near = jnp.sum(
@@ -1202,7 +1281,7 @@ def _march_kernel_body(
         def body(carry):
             t, depth, active, stepped, d_prev, step = carry
             pts = (origin_o + t * dirs_o) * inv_scale
-            cd, amax = _coarse_lookup(ttc_ref, pts, NC)
+            cd, amax = _coarse_lookup(ttc_ref, pts, NC, need_max=bf16)
             cd = cd * scale
             near = jnp.sum(active * (
                 jnp.where(cd < threshold * t + 1e-5, 1.0, 0.0)
