@@ -85,6 +85,10 @@ _DECIDE_EVERY = int(_os0.environ.get("SDFEST_DECIDE_EVERY", 1))  # v2 march:
 # DEAD END on v5e (=2: sphere 9.5 -> 12.3 ms, mug 11.2 -> 14.3): the three
 # extra scalar carries + per-iteration cond cost more than the skipped
 # decides save.  Kept as an A/B knob, default 1 (off).
+_ALIVE_CARRY = int(_os0.environ.get("SDFEST_ALIVE_CARRY", 0))  # v2 march:
+# carry the active-ray count as a while-carry scalar so the loop cond is
+# scalar-only (the reduce moves to the body end); A/B knob for whether the
+# cond-side reduce latency is on the critical path.
 _NOFALLBACK = int(_os0.environ.get("SDFEST_NOFALLBACK", 0))  # v2 march:
 # drop the y-tier/full-table fallback branches and the window-validity
 # (jhi/khi) reduces: near tiles ALWAYS take the yz-window branch, anchored
@@ -118,6 +122,15 @@ NC = int(_os.environ.get("SDFEST_NC", 16))  # coarse culling grid resolution per
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
 # the (clamped) linear extrapolation just outside the volume boundary
 _COARSE_MARGIN = 1e-4
+
+# Scoped-VMEM ceiling for the pallas calls: the default 16 MiB limit is an
+# allocator cap, not the hardware (v5e has 128 MiB of VMEM).  The fused
+# sample-grad kernel's three (QG, res^2) A-matrices plus the fine + zwin
+# tables legitimately need ~17-18 MiB under the sequential-vmap lax.map
+# wrapper; 64 MiB leaves Mosaic full double-buffering headroom while still
+# bounding runaway allocations.
+_VMEM_LIMIT = int(_os.environ.get("SDFEST_VMEM_LIMIT", 64 * 1024 * 1024))
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 # Mosaic supports DEFAULT (single bf16 pass, ~8e-3 relative — too coarse
 # for SDF values near the surface) or HIGHEST (fp32 contract); use fp32
@@ -869,9 +882,20 @@ def _march_kernel_body(
         # max-reduce with a carried alive scalar + decide-at-body-end was
         # ~1.5 ms SLOWER per 640x480 render — the lane-concat relayout of
         # four lane-0 operands costs more than the merged reduces save.
-        def cond(carry):
-            _, _, active, step = carry[:4]
-            return jnp.logical_and(jnp.sum(active) > 0.0, step < max_steps)
+        if _ALIVE_CARRY:
+            # scalar-only while cond: the active-count reduce runs at the
+            # END of the body (where its reduce->scalar latency can overlap
+            # the epilogue) and rides the carry; cond reads the scalar
+            def cond(carry):
+                return jnp.logical_and(
+                    carry[-1] > 0.0, carry[3] < max_steps
+                )
+        else:
+            def cond(carry):
+                _, _, active, step = carry[:4]
+                return jnp.logical_and(
+                    jnp.sum(active) > 0.0, step < max_steps
+                )
 
         k_iota = jax.lax.broadcasted_iota(
             jnp.int32, (dirs_o.shape[0], res), 1
@@ -945,7 +969,7 @@ def _march_kernel_body(
         def body(carry):
             if _STALE:
                 (t, depth, active, step, stepped, d_prev, omega,
-                 sel, j0, k0) = carry
+                 sel, j0, k0) = carry[:10]
                 cd = None  # the coarse branch recomputes its bound fresh
             elif _DECIDE_EVERY > 1:
                 # carried-decision mode: decide runs only every Nth
@@ -958,7 +982,7 @@ def _march_kernel_body(
                 # The coarse branch recomputes its bound fresh (a stale
                 # bound is not safe to step by).
                 (t, depth, active, step, stepped, d_prev, omega,
-                 sel, j0, k0) = carry
+                 sel, j0, k0) = carry[:10]
                 cd = None
                 sel, j0, k0 = jax.lax.cond(
                     step % _DECIDE_EVERY == 0,
@@ -966,7 +990,7 @@ def _march_kernel_body(
                     lambda: (sel, j0, k0),
                 )
             else:
-                t, depth, active, step, stepped, d_prev, omega = carry
+                t, depth, active, step, stepped, d_prev, omega = carry[:7]
                 sel, j0, k0, cd = decide(t, active)
 
             def substeps(t, depth, active, stepped, d_prev, omega, sample):
@@ -1153,6 +1177,8 @@ def _march_kernel_body(
             t, depth, active, stepped, d_prev, omega = out[:6]
             active = active * jnp.where(t < t_max, 1.0, 0.0)
             tail = (sel, j0, k0) if _DECIDE_EVERY > 1 else tuple(out[6:])
+            if _ALIVE_CARRY:
+                tail = tail + (jnp.sum(active),)
             return (t, depth, active, step + 1, stepped, d_prev,
                     omega) + tail
 
@@ -1162,6 +1188,8 @@ def _march_kernel_body(
         if _STALE or _DECIDE_EVERY > 1:
             sel0, j00, k00, _ = decide(t0, active0)
             carry0 = carry0 + (sel0, j00, k00)
+        if _ALIVE_CARRY:
+            carry0 = carry0 + (jnp.sum(active0),)
         out = jax.lax.while_loop(cond, body, carry0)
         depth_ref[0] = out[1]
         return
@@ -1666,6 +1694,7 @@ def _render_fwd_impl(
         grid_spec=grid_spec,
         out_shape=[tile_shape] * n_out,
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         sprefetch,
         table,
@@ -1939,6 +1968,7 @@ def _sample_impl(sdf, points, mask, *, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, Q, 1), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(sprefetch,
       sdf_to_table(sdf.astype(jnp.float32)), table_z,
       pts.reshape(n_tiles, Q, 3), m_t)
@@ -2008,6 +2038,7 @@ def _sample_grad_impl(sdf, points, mask, *, interpret: bool):
             jax.ShapeDtypeStruct((n_tiles, QG, 3), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(sprefetch,
       sdf_to_table(sdf.astype(jnp.float32)), table_z,
       pts.reshape(n_tiles, QG, 3), m_t)
@@ -2130,5 +2161,6 @@ def _scatter_impl(points, cotangents, *, res: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((res * res, res), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(sprefetch, pts.reshape(n_tiles, Q, 3), cot_t)
     return table_grad_to_sdf(grad_table, res)
