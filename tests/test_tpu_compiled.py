@@ -214,3 +214,27 @@ def test_compiled_sampler_vjp_under_vmap():
         np.testing.assert_allclose(
             np.asarray(g_batched[i]), np.asarray(g1), atol=1e-5
         )
+
+
+def test_compiled_sample_grad_under_vmap():
+    """Batched fused value+spatial-grad kernel == per-element, compiled.
+
+    Regression guard for the scoped-VMEM class of failure: the grad
+    kernel's three (QG, res^2) A-matrices plus the fine + zwin tables
+    exceed Mosaic's default 16 MiB scoped-vmem cap under the
+    sequential-vmap lax.map wrapper (caught by bench.py's
+    batched-hypothesis stage; fixed with CompilerParams.vmem_limit_bytes).
+    """
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(11), (3, 640, 3), minval=-1.1, maxval=1.1,
+        dtype=jnp.float32,
+    )
+    v_b, g_b = jax.jit(jax.vmap(sample_sdf_grad_pallas, in_axes=(None, 0)))(
+        SDF, pts
+    )
+    for i in range(pts.shape[0]):
+        v1, g1 = jax.jit(sample_sdf_grad_pallas)(SDF, pts[i])
+        np.testing.assert_allclose(np.asarray(v_b[i]), np.asarray(v1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_b[i]), np.asarray(g1),
+                                   atol=1e-6)
