@@ -85,6 +85,13 @@ _DECIDE_EVERY = int(_os0.environ.get("SDFEST_DECIDE_EVERY", 1))  # v2 march:
 # DEAD END on v5e (=2: sphere 9.5 -> 12.3 ms, mug 11.2 -> 14.3): the three
 # extra scalar carries + per-iteration cond cost more than the skipped
 # decides save.  Kept as an A/B knob, default 1 (off).
+_MXRED = int(_os0.environ.get("SDFEST_MXRED", 0))  # v2 march: compute the
+# four window-bound reduces via ONE (1, Q) @ (Q, 2*res) MXU column-sum of
+# an active-cell presence field + single-vreg lane min/max extractions,
+# instead of four layout-hostile (Q, 1) column reduces.  MEASURED on v5e:
+# neutral on the mug, ~7% SLOWER on the sphere — the (Q, 2*res) presence
+# build + M=1 matmul costs what the column reduces save; the decide
+# reduces are NOT the per-iteration bottleneck.  A/B knob, default off.
 _ALIVE_CARRY = int(_os0.environ.get("SDFEST_ALIVE_CARRY", 0))  # v2 march:
 # carry the active-ray count as a while-carry scalar so the loop cond is
 # scalar-only (the reduce moves to the body end); A/B knob for whether the
@@ -103,8 +110,9 @@ _NOFALLBACK = int(_os0.environ.get("SDFEST_NOFALLBACK", 0))  # v2 march:
 _UNROLL = int(_os0.environ.get("SDFEST_UNROLL", 3))  # fine sub-steps per while iteration in the v2 culling march:
 # amortizes the per-iteration scalar-sync/branch overhead (~6-9 us on v5e,
 # larger than the sample matmul) across several dependent samples
-_UNROLL_COARSE = 2  # bound sub-steps per coarse iteration (same
-# overhead-amortization logic; lookups are ~4x cheaper than fine samples)
+_UNROLL_COARSE = int(_os0.environ.get("SDFEST_UNROLL_COARSE", 2))  # bound
+# sub-steps per coarse iteration (same overhead-amortization logic;
+# lookups are ~4x cheaper than fine samples)
 _UNROLL_AUX = 2  # sub-steps in the corridor-tracking (aux) march: the five
 # corridor carries raise VMEM pressure, and 3 sub-steps blow the 16 MiB
 # scoped-vmem budget (measured 17.01M)
@@ -914,6 +922,18 @@ def _march_kernel_body(
             jzw, kzw = _zwin_lane_fields(dirs_o.shape[0])
             jzw_f = jzw.astype(jnp.float32)
             kzw_f = kzw.astype(jnp.float32)
+        if _MXRED:
+            # loop-invariant fields for the matmul-formulated window
+            # reduces: a (Q, 2*res) combined lane iota (y cells in lanes
+            # [0, res), z cells offset by res in [res, 2*res)), a (1, Q)
+            # ones row for the MXU column-sum, and a (1, 2*res) lane iota
+            # for the single-vreg min/max extraction
+            l2r = jax.lax.broadcasted_iota(
+                jnp.int32, (dirs_o.shape[0], 2 * res), 1
+            )
+            ones_row = jnp.ones((1, dirs_o.shape[0]), jnp.float32)
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * res), 1)
+            lane_mod = jnp.where(lane_r < res, lane_r, lane_r - res)
 
         def decide(t, active):
             """Branch-select + window scalars from the current ray state.
@@ -950,6 +970,44 @@ def _march_kernel_body(
                 klo = jnp.min(jnp.where(iny, bzi0, res))
                 k0 = jnp.minimum((klo // _ZSHIFT) * _ZSHIFT, res - WZ)
                 sel = jnp.where(near > 0.0, 1, 0)
+                return sel, j0, k0, cdd
+            if _MXRED and _ZWIN:
+                # matmul-formulated window bounds: the four (Q, 1) column
+                # min/max reduces are layout-hostile (a (Q, 1) f32 column
+                # is Q/8 nearly-empty vregs), so instead build ONE (Q,
+                # 2*res) active-cell presence field (y cells in lanes
+                # [0, res), z cells offset by res), column-sum it with a
+                # single (1, Q) @ (Q, 2*res) MXU pass, and extract all
+                # four bounds with single-vreg LANE reduces of the (1,
+                # 2*res) presence row.  Unlike the measured packed-reduce
+                # dead end, nothing is lane-concatenated: the field is
+                # built from (Q, 1) broadcasts against a hoisted iota.
+                bzi0 = _base_frac(p[:, 2:3], res)[0].astype(jnp.int32)
+                cells = jnp.where(l2r < res, byi, bzi0 + res)
+                pres = jnp.where(
+                    jnp.logical_and(l2r == cells, active > 0.0), 1.0, 0.0
+                )
+                prow = jnp.dot(ones_row, pres,
+                               preferred_element_type=jnp.float32,
+                               precision=_MM_PRECISION)  # (1, 2*res)
+                occ = prow > 0.0
+                occ_y = jnp.logical_and(occ, lane_r < res)
+                occ_z = jnp.logical_and(occ, lane_r >= res)
+                jlo = jnp.min(jnp.where(occ_y, lane_mod, res))
+                jhi = jnp.max(jnp.where(occ_y, lane_mod, -1))
+                klo = jnp.min(jnp.where(occ_z, lane_mod, res))
+                khi = jnp.max(jnp.where(occ_z, lane_mod, -1))
+                win_ok = jnp.logical_and(jhi - jlo <= WJ - 2, jhi >= 0)
+                j0 = jnp.clip((jlo + jhi - WJ + 2) // 2, 0, res - WJ)
+                kc = jnp.clip((klo + khi - WZ + 2) // 2, 0, res - WZ)
+                k0 = (kc // _ZSHIFT) * _ZSHIFT
+                kz_ok = jnp.logical_and(khi - k0 <= WZ - 2, khi >= 0)
+                yz_ok = jnp.logical_and(win_ok, kz_ok)
+                sel = jnp.where(
+                    near > 0.0,
+                    jnp.where(yz_ok, 1, jnp.where(win_ok, 2, 3)),
+                    0,
+                )
                 return sel, j0, k0, cdd
             j0, win_ok = _window_bounds(byi, act, res)
             if _ZWIN:
@@ -1749,11 +1807,20 @@ def _sample_kernel(s_ref, tt_ref, ttz_ref, pts_ref, mask_ref, out_ref,
 
 
 def _window_bounds(byi: jax.Array, act: jax.Array, res: int):
-    """(j0, ok): WJ-cell window start covering the active rows, validity."""
+    """(j0, ok): WJ-cell window start covering the active rows, validity.
+
+    The window is CENTERED on the active span (rather than anchored at its
+    low edge): rays move during the iteration's unrolled sub-steps, and
+    symmetric headroom halves the chance of drifting out of the window
+    mid-iteration (an out-of-window ray stalls a full iteration).
+    Coverage: with span <= WJ-2 the centered start satisfies j0 <= jlo and
+    jhi <= j0 + WJ - 2, so ``ok`` semantics are unchanged.
+    """
     jlo = jnp.min(jnp.where(act, byi, res))
     jhi = jnp.max(jnp.where(act, byi, -1))
     ok = jnp.logical_and(jhi - jlo <= WJ - 2, jhi >= 0)
-    return jnp.minimum(jlo, res - WJ), ok
+    j0 = jnp.clip((jlo + jhi - WJ + 2) // 2, 0, res - WJ)
+    return j0, ok
 
 
 def _zwindow_bounds(bzi: jax.Array, act: jax.Array, res: int):
@@ -1765,8 +1832,15 @@ def _zwindow_bounds(bzi: jax.Array, act: jax.Array, res: int):
     """
     klo = jnp.min(jnp.where(act, bzi, res))
     khi = jnp.max(jnp.where(act, bzi, -1))
-    k0 = jnp.minimum((klo // _ZSHIFT) * _ZSHIFT, res - WZ)
-    ok = jnp.logical_and(khi - k0 <= WZ - 2, khi >= 0)
+    # centered like _window_bounds (symmetric sub-step headroom), then
+    # aligned DOWN to an _ZSHIFT multiple so it indexes a zwin_table
+    # variant; coverage is re-checked against the aligned k0, so alignment
+    # can only flip ``ok`` to the fallback tier, never break coverage
+    kc = jnp.clip((klo + khi - WZ + 2) // 2, 0, res - WZ)
+    k0 = jnp.maximum((kc // _ZSHIFT) * _ZSHIFT, 0)
+    ok = jnp.logical_and(
+        jnp.logical_and(khi - k0 <= WZ - 2, k0 <= klo), khi >= 0
+    )
     return k0, ok
 
 
