@@ -330,3 +330,47 @@ def test_fused_render_pc_matches_separate_path():
         # orders; tolerance is 1e-4 of the gradient magnitude
         np.testing.assert_allclose(a, b, rtol=5e-4,
                                    atol=1e-4 * max(np.abs(a).max(), 1e-6))
+
+
+def test_window_bounds_cover_span_when_ok():
+    """Centered window starts still cover the active span whenever ok.
+
+    _window_bounds/_zwindow_bounds center the WJ/WZ-cell window on the
+    active span (sub-step drift headroom); this property test pins the
+    coverage invariant the march's valid predicates rely on: ok implies
+    every active cell c satisfies j0 <= c <= j0 + W - 2, the start is
+    in-range, and the z start is _ZSHIFT-aligned.
+    """
+    import numpy as np
+    from sdfest_tpu.render import pallas_kernel as pk
+
+    rng = np.random.default_rng(0)
+    res = 64
+    for trial in range(200):
+        q = 256
+        # cells come from _base_frac, which clamps bases to [0, res - 2];
+        # the coverage invariant relies on that (cell res - 1 at the top
+        # clip boundary would escape the window by one)
+        span = int(rng.integers(1, 40))
+        lo = int(rng.integers(0, res - 2 - span + 1))
+        byi = jnp.asarray(
+            rng.integers(lo, lo + span + 1, size=(q, 1)), jnp.int32
+        )
+        act = jnp.asarray(rng.random((q, 1)) < 0.3)
+        if not bool(act.any()):
+            continue
+        cells = np.asarray(byi)[np.asarray(act)]
+        j0, ok = jax.jit(pk._window_bounds, static_argnums=2)(byi, act, res)
+        j0, ok = int(j0), bool(ok)
+        assert ok == (cells.max() - cells.min() <= pk.WJ - 2)
+        assert 0 <= j0 <= res - pk.WJ
+        if ok:
+            assert j0 <= cells.min() and cells.max() <= j0 + pk.WJ - 2
+        k0, kok = jax.jit(pk._zwindow_bounds, static_argnums=2)(byi, act, res)
+        k0, kok = int(k0), bool(kok)
+        assert 0 <= k0 <= res - pk.WZ and k0 % pk._ZSHIFT == 0
+        if kok:
+            assert k0 <= cells.min() and cells.max() <= k0 + pk.WZ - 2
+        else:
+            # not-ok only when the aligned window genuinely cannot cover
+            assert cells.max() - k0 > pk.WZ - 2
