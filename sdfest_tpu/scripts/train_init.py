@@ -112,6 +112,38 @@ class Trainer:
 
     # -- run ---------------------------------------------------------------
 
+    def benchmark(self, steps: int = 30) -> float:
+        """Mean seconds per training step (generation + fwd + bwd), chained.
+
+        Counterpart of the reference's informal it/s readout; honest on the
+        lazily-executing hosted TPU runtime because the optimizer-state
+        chain makes every step a distinct request (short chains under-read:
+        use >= 30 steps, see NOTES.md).  Prints and returns the mean.
+        """
+        data_loader = self._create_multi_data_loader()
+
+        def one(state):
+            batch = next(data_loader)
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batch.items()
+                if k in ("pointset", "latent_shape", "position", "scale",
+                         "orientation")
+            }
+            return self.trainer.train_step(state, batch)
+
+        for _ in range(5):  # compile + warm the pipe
+            self.state, metrics = one(self.state)
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.time()
+        for _ in range(steps):
+            self.state, metrics = one(self.state)
+        jax.block_until_ready(metrics["loss"])
+        mean = (time.time() - t0) / steps
+        print(f"train step: {mean * 1000:.1f} ms "
+              f"(batch {self._batch_size}, {steps} chained steps)")
+        return mean
+
     def run(self) -> dict:
         data_loader = self._create_multi_data_loader()
         validation_loaders = self._create_validation_loaders()
@@ -211,8 +243,17 @@ class _GeneratedLoader:
 def main() -> None:
     parser = argparse.ArgumentParser(description="Train init network.")
     parser.add_argument("--config", nargs="+", required=False)
+    parser.add_argument(
+        "--benchmark_steps", type=int, default=0,
+        help="time N chained training steps and exit (no checkpointing)",
+    )
     config = load_config_from_args(parser)
-    Trainer(config).run()
+    steps = int(config.pop("benchmark_steps", 0) or 0)
+    trainer = Trainer(config)
+    if steps:
+        trainer.benchmark(steps)
+    else:
+        trainer.run()
 
 
 if __name__ == "__main__":

@@ -207,3 +207,31 @@ def test_metrics_logger_tensorboard_sink(tmp_path):
     assert make_logger({"wandb": True}, "run2") is None
     # nothing configured -> None
     assert make_logger({}, "run3") is None
+
+
+def test_train_init_benchmark_steps(tmp_path, capsys):
+    from sdfest_tpu.scripts.train_init import Trainer
+
+    datasets = {
+        "generated_dataset": {
+            "type": "SDFVAEViewDataset",
+            "probability": 1.0,
+            "config_dict": {
+                "width": 32,
+                "height": 24,
+                "fov_deg": 90,
+                "z_min": 0.2,
+                "z_max": 0.8,
+                "extent_mean": 0.2,
+                "extent_std": 0.01,
+                "pointcloud": True,
+                "normalize_pose": True,
+                "render_threshold": 0.01,
+                "orientation_repr": "discretized",
+                "orientation_grid_resolution": 0,
+            },
+        }
+    }
+    mean = Trainer(_init_config(tmp_path, datasets)).benchmark(steps=2)
+    assert mean > 0
+    assert "train step:" in capsys.readouterr().out
