@@ -124,11 +124,45 @@ def _log_visualizations(writer, trainer, state, batch, key, iteration):
         print(f"Visualization failed: {e}")
 
 
+def benchmark(config: dict, steps: int = 30) -> float:
+    """Mean seconds per VAE training step, chained (see train_init)."""
+    dataset = SDFDataset(config["dataset_path"])
+    batches = dataset.batches(config["batch_size"], shuffle=True)
+    trainer = VAETrainer(config)
+    key = jax.random.PRNGKey(config.get("seed", 0))
+    state = trainer.init_state(key)
+    for _ in range(5):
+        key, subkey = jax.random.split(key)
+        state, metrics = trainer.train_step(
+            state, jnp.asarray(next(batches)), subkey
+        )
+    jax.block_until_ready(metrics["loss"])
+    start = time.time()
+    for _ in range(steps):
+        key, subkey = jax.random.split(key)
+        state, metrics = trainer.train_step(
+            state, jnp.asarray(next(batches)), subkey
+        )
+    jax.block_until_ready(metrics["loss"])
+    mean = (time.time() - start) / steps
+    print(f"train step: {mean * 1000:.1f} ms "
+          f"(batch {config['batch_size']}, {steps} chained steps)")
+    return mean
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="Train SDF shape VAE.")
     parser.add_argument("--config", nargs="+", required=False)
+    parser.add_argument(
+        "--benchmark_steps", type=int, default=0,
+        help="time N chained training steps and exit (no checkpointing)",
+    )
     config = load_config_from_args(parser)
-    train(config)
+    steps = int(config.pop("benchmark_steps", 0) or 0)
+    if steps:
+        benchmark(config, steps)
+    else:
+        train(config)
 
 
 if __name__ == "__main__":

@@ -235,3 +235,22 @@ def test_train_init_benchmark_steps(tmp_path, capsys):
     mean = Trainer(_init_config(tmp_path, datasets)).benchmark(steps=2)
     assert mean > 0
     assert "train step:" in capsys.readouterr().out
+
+
+def test_train_vae_benchmark_steps(tmp_path, capsys):
+    from sdfest_tpu.scripts.train_vae import benchmark
+
+    data_dir = tmp_path / "sdfs"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        np.save(data_dir / f"{i:05}.npy",
+                rng.normal(size=(16, 16, 16)).astype(np.float32))
+    config = tiny_vae_config()
+    config.update(
+        batch_size=2, learning_rate=1e-3, dataset_path=str(data_dir),
+        l2_small_weight=10.0, l2_large_weight=1.0, kld_weight=1.0,
+        pc_weight=0.0,
+    )
+    assert benchmark(config, steps=2) > 0
+    assert "train step:" in capsys.readouterr().out
