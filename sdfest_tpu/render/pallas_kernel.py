@@ -85,6 +85,11 @@ _DECIDE_EVERY = int(_os0.environ.get("SDFEST_DECIDE_EVERY", 1))  # v2 march:
 # DEAD END on v5e (=2: sphere 9.5 -> 12.3 ms, mug 11.2 -> 14.3): the three
 # extra scalar carries + per-iteration cond cost more than the skipped
 # decides save.  Kept as an A/B knob, default 1 (off).
+_PREBOUND = int(_os0.environ.get("SDFEST_PREBOUND", 0))  # v2 march: take
+# this many far-guarded coarse bound sub-steps BEFORE the while loop
+# (trace-time unrolled): rays start at the OBB shell, so the first loop
+# iterations are usually bound steps — hoisting them skips their
+# decide/switch/cond overhead entirely.
 _MXRED = int(_os0.environ.get("SDFEST_MXRED", 0))  # v2 march: compute the
 # four window-bound reduces via ONE (1, Q) @ (Q, 2*res) MXU column-sum of
 # an active-cell presence field + single-vreg lane min/max extractions,
@@ -1240,6 +1245,20 @@ def _march_kernel_body(
             return (t, depth, active, step + 1, stepped, d_prev,
                     omega) + tail
 
+        if _PREBOUND:
+            # hoisted coarse burst: rays enter at the OBB shell, so most
+            # tiles spend their first 1-2 while iterations on bound steps
+            # — taking those steps HERE (trace-time unrolled, no decide /
+            # switch / cond machinery) removes whole loop iterations.
+            # Far-guarded bound steps never skip a surface; near rays
+            # simply stall until the loop's first fine iteration.
+            for _ in range(_PREBOUND):
+                pp = (origin_o + t0 * dirs_o) * inv_scale
+                cdp, _ = _coarse_lookup(ttc_ref, pp, NC, need_max=False)
+                cdp = cdp * scale
+                farp = jnp.where(cdp >= threshold * t0 + 1e-5, 1.0, 0.0)
+                t0 = jnp.where(active0 * farp > 0.0, t0 + cdp, t0)
+            active0 = active0 * jnp.where(t0 < t_max, 1.0, 0.0)
         zeros = jnp.zeros_like(t0)
         carry0 = (t0, zeros, active0, 0, zeros, zeros,
                   jnp.full_like(t0, _OMEGA_INIT if adaptive else 1.0))
