@@ -45,6 +45,21 @@ def main():
     import numpy as np
     import optax
 
+    # the tunneled TPU backend can be transiently UNAVAILABLE while the
+    # server drains a wedged compile (measured: an orphaned big-program
+    # compile blocked backend init for 1h+); retry init a few times before
+    # giving up so a transient wedge doesn't zero out the benchmark
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"backend init failed ({e}); retrying in 120 s",
+                  file=sys.stderr)
+            time.sleep(120)
+
     from sdfest_tpu.ops.camera import Camera
     from sdfest_tpu.ops import pointset, quaternion
     from sdfest_tpu.pipeline import losses as L
