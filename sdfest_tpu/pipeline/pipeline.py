@@ -54,6 +54,25 @@ def _adjust_categorical_posterior(
     return adjusted / jnp.sum(adjusted, axis=-1, keepdims=True)
 
 
+def _roi_offset_for(depth: jax.Array, roi: Tuple[int, int]) -> jax.Array:
+    """Top-left (row, col) of an (Hr, Wr) ROI centered on observed pixels.
+
+    Clamped into the frame; traced-safe (argmax-based bbox).  An all-empty
+    view yields offset (0, 0), which is harmless (its depth loss compares
+    an empty crop, exactly as the full frame would).
+    """
+    h, w = depth.shape
+    rows = jnp.any(depth > 0, axis=1)
+    cols = jnp.any(depth > 0, axis=0)
+    rmin = jnp.argmax(rows)
+    rmax = h - 1 - jnp.argmax(rows[::-1])
+    cmin = jnp.argmax(cols)
+    cmax = w - 1 - jnp.argmax(cols[::-1])
+    oy = jnp.clip((rmin + rmax + 1 - roi[0]) // 2, 0, h - roi[0])
+    ox = jnp.clip((cmin + cmax + 1 - roi[1]) // 2, 0, w - roi[1])
+    return jnp.stack([oy, ox]).astype(jnp.int32)
+
+
 class SDFPipeline:
     """SDF pose, scale and shape estimation from depth images."""
 
@@ -262,7 +281,7 @@ class SDFPipeline:
             ),
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 9))
     def _refine(
         self,
         state: Dict[str, jax.Array],
@@ -273,8 +292,18 @@ class SDFPipeline:
         camera_orientations: jax.Array,  # (V, 4)
         shape_optimization: bool = True,
         point_constraint: Optional[Tuple[jax.Array, jax.Array, float]] = None,
+        roi: Optional[Tuple[int, int]] = None,
     ):
-        """Jitted iterative refinement: one XLA program for the full loop."""
+        """Jitted iterative refinement: one XLA program for the full loop.
+
+        With ``roi=(Hr, Wr)`` the depth loss renders only a per-view crop
+        centered on the observed pixels (the crop of a full render,
+        exactly — see :func:`sdfest_tpu.render.render_depth`), so active
+        march tiles scale with the object's screen area instead of the
+        frame.  The pc loss and inlier ratio are unaffected: the pc loss
+        samples observed points, and the ROI covers every observed pixel
+        (``__call__`` falls back to full-frame when it would not).
+        """
         # standardize on float32 (the TPU-native compute dtype)
         to_f32 = lambda t: jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), t
@@ -303,10 +332,23 @@ class SDFPipeline:
         n_views = depth_images.shape[0]
         # zero-sized warm state when disabled (nothing rides the scan carry)
         hw = (self.camera.height, self.camera.width) if use_warm else (0, 0)
+        if roi is not None and use_warm:
+            raise ValueError("roi refinement and temporal_coherence are "
+                             "mutually exclusive")
+        if roi is not None:
+            offsets = jax.vmap(lambda d: _roi_offset_for(d, roi))(
+                depth_images
+            )
+            depth_rois = jax.vmap(
+                lambda d, o: jax.lax.dynamic_slice(d, (o[0], o[1]), roi)
+            )(depth_images, offsets)
+        else:
+            offsets = jnp.zeros((n_views, 2), jnp.int32)
+            depth_rois = depth_images
 
         def view_losses(latent_sdf, position, orientation, scale, view,
                         view_warm, motion, full_refresh):
-            depth_input, pts, pts_mask, cam_pos, cam_quat = view
+            depth_input, pts, pts_mask, cam_pos, cam_quat, roi_off = view
             q_w2c = quaternion.invert(cam_quat)
             position_c = quaternion.apply(q_w2c, position - cam_pos)
             orientation_c = quaternion.multiply(q_w2c, orientation)
@@ -334,6 +376,8 @@ class SDFPipeline:
                     culling=self.config.get("coarse_culling", True),
                     bf16=self.config.get("bf16_march", False),
                     adaptive=self.config.get("adaptive_relaxation", True),
+                    roi=roi,
+                    roi_offset=roi_off,
                 )
                 loss_pc = losses.masked_mean_abs(pc_values, pts_mask)
             loss_depth = losses.depth_l1_loss(depth_input, depth_estimate)
@@ -382,11 +426,12 @@ class SDFPipeline:
                     (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
                     (
                         (
-                            depth_images,
+                            depth_rois,
                             points,
                             point_masks,
                             camera_positions,
                             camera_orientations,
+                            offsets,
                         ),
                         warm["views"],
                     ),
@@ -433,7 +478,7 @@ class SDFPipeline:
             # post-step parameters (matches the reference's update ordering,
             # simple_setup.py:461-470)
             ratio = losses.inlier_ratio(
-                depth_images[-1],
+                depth_rois[-1],
                 aux["last_depth_estimate"],
                 self._relative_inlier_threshold,
             ).astype(jnp.float32)
@@ -479,6 +524,37 @@ class SDFPipeline:
             jnp.arange(max_iterations),
         )
         return state, best, log
+
+    def _roi_for(self, depth_images) -> Optional[Tuple[int, int]]:
+        """Resolve the refinement ROI for these (concrete) inputs.
+
+        Config ``roi_size: [Hr, Wr]`` opts in.  Falls back to full-frame
+        (returns None) when the observed bbox of any view plus
+        ``roi_margin`` (default 48 px, headroom for the estimate to wander
+        during refinement) does not fit the configured ROI, when the ROI
+        does not fit the frame, or when temporal coherence is on.  Decided
+        host-side on concrete values so the jitted program count stays at
+        two variants per config.
+        """
+        roi_cfg = self.config.get("roi_size")
+        if not roi_cfg or self._use_temporal_coherence():
+            return None
+        rh, rw = int(roi_cfg[0]), int(roi_cfg[1])
+        h, w = self.camera.height, self.camera.width
+        if rh > h or rw > w:
+            return None
+        margin = int(self.config.get("roi_margin", 48))
+        import numpy as np_
+
+        d = np_.asarray(depth_images > 0)
+        for v in range(d.shape[0]):
+            ys, xs = np_.nonzero(d[v])
+            if ys.size == 0:
+                continue
+            if (ys.max() - ys.min() + 1 + 2 * margin > rh
+                    or xs.max() - xs.min() + 1 + 2 * margin > rw):
+                return None
+        return (rh, rw)
 
     def _use_temporal_coherence(self) -> bool:
         """Whether refinement renders can use warm-started marching."""
@@ -638,6 +714,7 @@ class SDFPipeline:
             camera_orientations,
             shape_optimization,
             point_constraint,
+            self._roi_for(depth_images),
         )
 
         if log_path is not None or animation_path is not None:
@@ -734,12 +811,15 @@ class SDFPipeline:
         camera_positions: jax.Array,
         camera_orientations: jax.Array,
         shape_optimization: bool = True,
+        roi: Optional[Tuple[int, int]] = None,
     ):
         """Refine a batch of hypotheses in parallel (vmap of the scan program).
 
         ``states`` leaves carry a leading hypothesis axis; view inputs are
         shared.  Hypotheses are independent, so this maps perfectly onto
         data-parallel TPU meshes with zero cross-device communication.
+        ``roi`` as in :meth:`_refine` (pass ``self._roi_for(depth_images)``
+        to apply the config policy).
         """
         refine = functools.partial(
             self._refine,
@@ -749,6 +829,7 @@ class SDFPipeline:
             camera_positions=camera_positions,
             camera_orientations=camera_orientations,
             shape_optimization=shape_optimization,
+            roi=roi,
         )
         return jax.vmap(lambda s: refine(s))(states)
 

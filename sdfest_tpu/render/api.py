@@ -116,19 +116,24 @@ def sample_sdf_masked_extrapolating(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _render_pallas(static, sdf, position, orientation, inv_scale):
+def _render_pallas(static, sdf, position, orientation, inv_scale,
+                   roi_offset):
     from sdfest_tpu.render.pallas_kernel import render_depth_pallas_fwd
 
-    camera, threshold, max_steps, relaxation, culling, bf16, adaptive = static
+    (camera, threshold, max_steps, relaxation, culling, bf16, adaptive,
+     roi) = static
     return render_depth_pallas_fwd(
         sdf, position, orientation, inv_scale, camera, threshold, max_steps,
-        relaxation, culling, bf16, adaptive=adaptive,
+        relaxation, culling, bf16, adaptive=adaptive, roi=roi,
+        roi_offset=roi_offset,
     )
 
 
-def _render_pallas_fwd(static, sdf, position, orientation, inv_scale):
-    depth = _render_pallas(static, sdf, position, orientation, inv_scale)
-    return depth, (sdf, position, orientation, inv_scale, depth)
+def _render_pallas_fwd(static, sdf, position, orientation, inv_scale,
+                       roi_offset):
+    depth = _render_pallas(static, sdf, position, orientation, inv_scale,
+                           roi_offset)
+    return depth, (sdf, position, orientation, inv_scale, depth, roi_offset)
 
 
 def _surrogate_with_op(sdf, position, orientation, inv_scale, depth, dirs):
@@ -163,10 +168,21 @@ def _surrogate_with_op(sdf, position, orientation, inv_scale, depth, dirs):
     return val * jnp.abs(dz)
 
 
+def _roi_dirs(camera, dtype, roi, roi_offset):
+    """Per-pixel ray directions, optionally a dynamic ROI slice."""
+    dirs = xla_backend.pixel_directions(camera, dtype)
+    if roi is None:
+        return dirs
+    zero = jnp.zeros((), roi_offset.dtype)
+    return jax.lax.dynamic_slice(
+        dirs, (roi_offset[0], roi_offset[1], zero), (roi[0], roi[1], 3)
+    )
+
+
 def _render_pallas_bwd(static, residuals, grad_depth):
-    camera = static[0]
-    sdf, position, orientation, inv_scale, depth = residuals
-    dirs = xla_backend.pixel_directions(camera, sdf.dtype)
+    camera, roi = static[0], static[7]
+    sdf, position, orientation, inv_scale, depth, roi_offset = residuals
+    dirs = _roi_dirs(camera, sdf.dtype, roi, roi_offset)
     _, vjp = jax.vjp(
         lambda s, p, q, i: _surrogate_with_op(s, p, q, i, depth, dirs),
         sdf,
@@ -174,7 +190,7 @@ def _render_pallas_bwd(static, residuals, grad_depth):
         orientation,
         inv_scale,
     )
-    return vjp(grad_depth)
+    return vjp(grad_depth) + (jnp.zeros_like(roi_offset),)
 
 
 _render_pallas.defvjp(_render_pallas_fwd, _render_pallas_bwd)
@@ -205,15 +221,17 @@ def _pc_object_points(position, orientation, inv_scale, points, point_mask,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _render_pc_pallas(static, sdf, position, orientation, inv_scale, points,
-                      point_mask):
+                      point_mask, roi_offset):
     from sdfest_tpu.render.pallas_kernel import (
         render_depth_pallas_fwd, sample_sdf_pallas,
     )
 
-    camera, threshold, max_steps, relaxation, culling, bf16, adaptive = static
+    (camera, threshold, max_steps, relaxation, culling, bf16, adaptive,
+     roi) = static
     depth = render_depth_pallas_fwd(
         sdf, position, orientation, inv_scale, camera, threshold, max_steps,
-        relaxation, culling, bf16, adaptive=adaptive,
+        relaxation, culling, bf16, adaptive=adaptive, roi=roi,
+        roi_offset=roi_offset,
     )
     obj, mask = _pc_object_points(
         position, orientation, inv_scale, points, point_mask, sdf.shape[0]
@@ -223,13 +241,14 @@ def _render_pc_pallas(static, sdf, position, orientation, inv_scale, points,
 
 
 def _render_pc_fwd(static, sdf, position, orientation, inv_scale, points,
-                   point_mask):
+                   point_mask, roi_offset):
     out = _render_pc_pallas(
-        static, sdf, position, orientation, inv_scale, points, point_mask
+        static, sdf, position, orientation, inv_scale, points, point_mask,
+        roi_offset,
     )
     depth, _ = out
     return out, (sdf, position, orientation, inv_scale, points, point_mask,
-                 depth)
+                 depth, roi_offset)
 
 
 def _render_pc_bwd(static, residuals, cotangents):
@@ -251,17 +270,21 @@ def _render_pc_bwd(static, residuals, cotangents):
 
     from sdfest_tpu.render.pallas_kernel import _camera_ray_planes, _tile_image
 
-    camera = static[0]
-    sdf, position, orientation, inv_scale, points, point_mask, depth = (
-        residuals
-    )
+    camera, roi = static[0], static[7]
+    (sdf, position, orientation, inv_scale, points, point_mask, depth,
+     roi_offset) = residuals
     grad_depth, grad_vals = cotangents
     h, w = depth.shape
     res = sdf.shape[0]
-    _, dx_np, dy_np, dz_np = _camera_ray_planes(camera)
-    dirs_t = jnp.asarray(
-        np.concatenate([dx_np, dy_np, dz_np], axis=2).reshape(-1, 3)
-    )
+    if roi is None:
+        _, dx_np, dy_np, dz_np = _camera_ray_planes(camera)
+        dirs_t = jnp.asarray(
+            np.concatenate([dx_np, dy_np, dz_np], axis=2).reshape(-1, 3)
+        )
+    else:
+        dirs_t = _tile_image(
+            _roi_dirs(camera, jnp.float32, roi, roi_offset), h, w
+        ).reshape(-1, 3)
     dz_t = dirs_t[:, 2]
     depth_t = _tile_image(depth[..., None], h, w).reshape(-1)
     grad_depth_t = _tile_image(grad_depth[..., None], h, w).reshape(-1)
@@ -288,7 +311,7 @@ def _render_pc_bwd(static, residuals, cotangents):
     _, vjp = jax.vjp(f, sdf, position, orientation, inv_scale)
     gs, gp, gq, gi = vjp((grad_depth_t, grad_vals))
     return (gs, gp, gq, gi, jnp.zeros_like(points),
-            jnp.zeros_like(point_mask))
+            jnp.zeros_like(point_mask), jnp.zeros_like(roi_offset))
 
 
 _render_pc_pallas.defvjp(_render_pc_fwd, _render_pc_bwd)
@@ -309,6 +332,8 @@ def render_depth_with_pc_values(
     culling: bool = True,
     bf16: bool = False,
     adaptive: bool = True,
+    roi: Optional[Tuple[int, int]] = None,
+    roi_offset: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render a depth image AND sample the SDF at observed points, fused.
 
@@ -319,21 +344,34 @@ def render_depth_with_pc_values(
     ``pc_loss`` separately; the pallas backward is fused (one sample-grad +
     one scatter kernel for both, instead of two of each).  Falls back to the
     separate ops off-TPU or for unsupported shapes.
+
+    ``roi=(Hr, Wr)`` + ``roi_offset`` render only that crop of the frame
+    (depth comes back (Hr, Wr)); equal to the same crop of the full-frame
+    render by construction (pixel-independent rays), so losses computed on
+    matching target crops are exact.  The pc values are unaffected (they
+    sample the observed points, not the raster).
     """
     from sdfest_tpu.pipeline import losses
     from sdfest_tpu.render.pallas_kernel import RES, TILE
 
     backend = resolve_backend(backend)
     inv_scale = 1.0 / scale
+    if roi is not None:
+        roi = (int(roi[0]), int(roi[1]))
+        roi_offset = (
+            jnp.zeros((2,), jnp.int32) if roi_offset is None
+            else jnp.asarray(roi_offset, jnp.int32)
+        )
     if (
         backend == "pallas"
         and sdf.shape[-1] == RES
         and camera.height % TILE == 0
         and camera.width % TILE == 0
+        and (roi is None or (roi[0] % TILE == 0 and roi[1] % TILE == 0))
     ):
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
-            bool(culling), bool(bf16), bool(adaptive),
+            bool(culling), bool(bf16), bool(adaptive), roi,
         )
         depth, values = _render_pc_pallas(
             static,
@@ -343,6 +381,7 @@ def render_depth_with_pc_values(
             inv_scale,
             jnp.asarray(points),
             jnp.asarray(point_mask),
+            jnp.zeros((2,), jnp.int32) if roi_offset is None else roi_offset,
         )
         return depth, values * scale
     depth = render_depth(
@@ -350,6 +389,10 @@ def render_depth_with_pc_values(
         threshold=threshold, max_steps=max_steps, backend=backend,
         relaxation=relaxation, culling=culling, bf16=bf16, adaptive=adaptive,
     )
+    if roi is not None:
+        depth = jax.lax.dynamic_slice(
+            depth, (roi_offset[0], roi_offset[1]), roi
+        )
     values = losses.pc_loss(
         points, position, orientation, scale, sdf, point_mask,
         backend=backend,
@@ -451,6 +494,8 @@ def render_depth(
     culling: bool = True,
     bf16: bool = False,
     adaptive: bool = True,
+    roi: Optional[Tuple[int, int]] = None,
+    roi_offset: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Render a depth image of a posed, scaled, voxelized SDF.
 
@@ -464,7 +509,9 @@ def render_depth(
     never skips a surface the plain march would hit).  ``adaptive`` enables
     per-ray auto-over-relaxation inside the culling march (graze-band rays
     overstep up to ~1.9x with a certified revert fallback; same stepping-
-    noise class as culling).
+    noise class as culling).  ``roi=(Hr, Wr)`` + ``roi_offset`` render only
+    that crop of the frame (exactly the crop of a full render; on the xla
+    backend it IS a crop of the full render).
     """
     backend = resolve_backend(backend)
     if camera is None:
@@ -475,14 +522,21 @@ def render_depth(
         raise ValueError("Either camera or width+height+fov_deg must be given.")
     from sdfest_tpu.render.pallas_kernel import RES, TILE
 
+    if roi is not None:
+        roi = (int(roi[0]), int(roi[1]))
+        roi_offset = (
+            jnp.zeros((2,), jnp.int32) if roi_offset is None
+            else jnp.asarray(roi_offset, jnp.int32)
+        )
     if backend == "pallas" and (
         sdf.shape[-1] != RES or camera.height % TILE or camera.width % TILE
+        or (roi is not None and (roi[0] % TILE or roi[1] % TILE))
     ):
         backend = "xla"  # kernel constraints unmet; use the generic path
     if backend == "pallas":
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
-            bool(culling), bool(bf16), bool(adaptive),
+            bool(culling), bool(bf16), bool(adaptive), roi,
         )
         return _render_pallas(
             static,
@@ -490,8 +544,9 @@ def render_depth(
             jnp.asarray(position),
             jnp.asarray(orientation),
             jnp.asarray(inv_scale),
+            jnp.zeros((2,), jnp.int32) if roi_offset is None else roi_offset,
         )
-    return xla_backend.render_depth(
+    depth = xla_backend.render_depth(
         sdf,
         position,
         orientation,
@@ -500,3 +555,8 @@ def render_depth(
         threshold=threshold,
         max_steps=max_steps,
     )
+    if roi is not None:
+        depth = jax.lax.dynamic_slice(
+            depth, (roi_offset[0], roi_offset[1]), roi
+        )
+    return depth

@@ -684,7 +684,9 @@ def _march_kernel_body(
             # guarantees progress — the window is anchored at the lowest
             # active y-cell, so at least those rays sample every iteration
             # and the window walks upward across a wide tile
-            j0, _ = _window_bounds(byi, active > 0.0, res)
+            # low anchor: this march has NO full-table fallback — progress
+            # relies on the lowest active rays always being in-window
+            j0, _ = _window_bounds(byi, active > 0.0, res, center=False)
             sel = jnp.where(near > 0.0, 1, 0)
 
             def substeps(t, depth, active, cor, sample):
@@ -1574,7 +1576,8 @@ def _untile_image(x: jax.Array, h: int, w: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "threshold", "max_steps", "relaxation",
-                     "culling", "bf16", "aux", "adaptive", "interpret"),
+                     "culling", "bf16", "aux", "adaptive", "interpret",
+                     "roi"),
 )
 def render_depth_pallas_fwd(
     sdf: jax.Array,
@@ -1592,6 +1595,8 @@ def render_depth_pallas_fwd(
     aux: bool = False,
     adaptive: bool = True,
     interpret=None,
+    roi=None,
+    roi_offset=None,
 ):
     """Forward sphere-trace via the Pallas tile kernel; returns (H, W) depth.
 
@@ -1610,12 +1615,31 @@ def render_depth_pallas_fwd(
       clearance bounds — see :func:`_march_kernel`) plus the ray setup
       (``t0`` actual start, ``t_min``/``t_max`` OBB interval) for warm-start
       bookkeeping across refinement iterations.
+
+    ROI rendering: with ``roi=(Hr, Wr)`` (static) and ``roi_offset``
+    ((2,) int array, top-left row/col — may be traced), only that crop of
+    the image is rendered: the per-pixel ray directions are dynamic slices
+    of the full camera's direction planes, so the result equals the same
+    crop of a full-frame render exactly (rays are pixel-independent).
+    This is the production refinement fast path — the object typically
+    covers a fraction of the frame, and active tiles scale with ROI area.
+    Not supported together with the warm-start inputs.
     """
+    if roi is not None and (t_init is not None or skip is not None):
+        raise ValueError("roi rendering does not support warm-start inputs")
     impl = functools.partial(
         _render_fwd_impl, camera=camera, threshold=threshold,
         max_steps=max_steps, relaxation=relaxation, culling=culling,
         bf16=bf16, aux=aux, adaptive=adaptive,
-        interpret=_resolve_interpret(interpret))
+        interpret=_resolve_interpret(interpret), roi=roi)
+    if roi is not None:
+        roi_offset = jnp.zeros((2,), jnp.int32) if roi_offset is None else (
+            jnp.asarray(roi_offset, jnp.int32)
+        )
+        return _sequential_vmap(
+            lambda s, p, q, i, off: impl(s, p, q, i, None, None,
+                                         roi_offset=off),
+            sdf, position, orientation, inv_scale, roi_offset)
     if t_init is None and skip is None:
         return _sequential_vmap(
             lambda s, p, q, i: impl(s, p, q, i, None, None),
@@ -1648,12 +1672,16 @@ def _render_fwd_impl(
     aux: bool,
     adaptive: bool,
     interpret: bool,
+    roi=None,
+    roi_offset=None,
 ):
     """Unbatched march body behind :func:`render_depth_pallas_fwd`."""
     res = sdf.shape[0]
     if res != RES:
         raise ValueError(f"Pallas renderer requires res={RES}, got {res}")
     h, w = camera.height, camera.width
+    if roi is not None:
+        h, w = roi
     if h % TILE or w % TILE:
         raise ValueError(f"Image dims must be multiples of {TILE}")
 
@@ -1665,6 +1693,16 @@ def _render_fwd_impl(
     # raster layout keeps the OBB math lane-friendly
     dirs_np, dx_np, dy_np, dz_np = _camera_ray_planes(camera)
     dirs = jnp.asarray(dirs_np)
+    if roi is not None:
+        # ROI crop: the ray directions (and hence everything downstream)
+        # are a dynamic slice of the full camera's planes.  The tiled plane
+        # operands are rebuilt at runtime from the slice; they are
+        # loop-invariant for a fixed offset, so XLA hoists the transposes
+        # out of refinement scans.
+        oy = roi_offset[0]
+        ox = roi_offset[1]
+        zero = jnp.zeros((), oy.dtype)
+        dirs = jax.lax.dynamic_slice(dirs, (oy, ox, zero), (h, w, 3))
     scale = 1.0 / inv_scale
     hit, t_min, t_max = _obb_intersect(dirs, position, orientation, scale)
     rot = quaternion.to_rotation_matrix(orientation)
@@ -1682,11 +1720,18 @@ def _render_fwd_impl(
     active0 = hit & (t0 < t_max) & (skip <= 0.0)
 
     # camera-constant direction planes, tiled at trace time (executable
-    # constants; the kernel rotates them into the object frame)
+    # constants; the kernel rotates them into the object frame).  ROI
+    # renders tile the sliced planes at runtime instead (hoisted by XLA
+    # when the offset is loop-invariant, e.g. across a refinement scan).
     n_tiles = (h // TILE) * (w // TILE)
-    dx_t = jnp.asarray(dx_np)
-    dy_t = jnp.asarray(dy_np)
-    dz_t = jnp.asarray(dz_np)
+    if roi is not None:
+        dx_t = _tile_image(dirs[..., 0:1], h, w).reshape(n_tiles, QM, 1)
+        dy_t = _tile_image(dirs[..., 1:2], h, w).reshape(n_tiles, QM, 1)
+        dz_t = _tile_image(dirs[..., 2:3], h, w).reshape(n_tiles, QM, 1)
+    else:
+        dx_t = jnp.asarray(dx_np)
+        dy_t = jnp.asarray(dy_np)
+        dz_t = jnp.asarray(dz_np)
 
     table = sdf_to_table(sdf)
     if aux and (not culling or relaxation > 1.0):
@@ -1825,19 +1870,30 @@ def _sample_kernel(s_ref, tt_ref, ttz_ref, pts_ref, mask_ref, out_ref,
         ) * mask
 
 
-def _window_bounds(byi: jax.Array, act: jax.Array, res: int):
+def _window_bounds(byi: jax.Array, act: jax.Array, res: int,
+                   center: bool = True):
     """(j0, ok): WJ-cell window start covering the active rows, validity.
 
-    The window is CENTERED on the active span (rather than anchored at its
-    low edge): rays move during the iteration's unrolled sub-steps, and
-    symmetric headroom halves the chance of drifting out of the window
-    mid-iteration (an out-of-window ray stalls a full iteration).
-    Coverage: with span <= WJ-2 the centered start satisfies j0 <= jlo and
-    jhi <= j0 + WJ - 2, so ``ok`` semantics are unchanged.
+    With ``center=True`` (default) the window is CENTERED on the active
+    span (rather than anchored at its low edge): rays move during the
+    iteration's unrolled sub-steps, and symmetric headroom halves the
+    chance of drifting out of the window mid-iteration (an out-of-window
+    ray stalls a full iteration).  Coverage: with span <= WJ - 2 the
+    centered start satisfies j0 <= jlo and jhi <= j0 + WJ - 2, so ``ok``
+    semantics are unchanged.
+
+    ``center=False`` anchors at the lowest active cell.  REQUIRED for
+    callers without a full-table fallback (the corridor-tracking aux
+    march): when the span exceeds the window, a centered window can cover
+    NO active ray (bimodal spans), stalling the whole tile, whereas the
+    low anchor guarantees the lowest rays always sample and the window
+    walks upward.
     """
     jlo = jnp.min(jnp.where(act, byi, res))
     jhi = jnp.max(jnp.where(act, byi, -1))
     ok = jnp.logical_and(jhi - jlo <= WJ - 2, jhi >= 0)
+    if not center:
+        return jnp.minimum(jlo, res - WJ), ok
     j0 = jnp.clip((jlo + jhi - WJ + 2) // 2, 0, res - WJ)
     return j0, ok
 

@@ -374,3 +374,42 @@ def test_window_bounds_cover_span_when_ok():
         else:
             # not-ok only when the aligned window genuinely cannot cover
             assert cells.max() - k0 > pk.WZ - 2
+
+
+def test_roi_render_equals_full_crop():
+    """ROI rendering == the same crop of a full-frame render, exactly.
+
+    Rays are pixel-independent, and the ROI path feeds the kernel dynamic
+    slices of the same direction planes, so the equality is bitwise — the
+    property the pipeline's ROI depth loss relies on.  Also checks the
+    gradient path runs (fused render+pc with roi).
+    """
+    from sdfest_tpu.ops.camera import Camera
+    from sdfest_tpu.render.api import render_depth
+
+    cam = Camera(width=96, height=64, fx=48, fy=48, cx=48, cy=32,
+                 pixel_center=0.5)
+    sdf = jnp.asarray(make_sphere_sdf(64))
+    p = jnp.asarray([0.02, -0.01, -0.5], jnp.float32)
+    q = jnp.asarray([0.2, 0.1, 0.0, 0.97], jnp.float32)
+    q = q / jnp.linalg.norm(q)
+    for off in ((0, 0), (16, 32), (32, 48)):
+        off_a = jnp.asarray(off, jnp.int32)
+        full = render_depth(sdf, p, q, jnp.asarray(5.0), camera=cam,
+                            threshold=0.005, backend="pallas")
+        roi = render_depth(sdf, p, q, jnp.asarray(5.0), camera=cam,
+                           threshold=0.005, backend="pallas",
+                           roi=(32, 48), roi_offset=off_a)
+        np.testing.assert_array_equal(
+            np.asarray(roi),
+            np.asarray(full)[off[0]:off[0] + 32, off[1]:off[1] + 48],
+        )
+
+    def loss(pp):
+        d = render_depth(sdf, pp, q, jnp.asarray(5.0), camera=cam,
+                         threshold=0.005, backend="pallas",
+                         roi=(32, 48), roi_offset=jnp.asarray([16, 24]))
+        return jnp.sum(d)
+
+    g = jax.grad(loss)(p)
+    assert bool(jnp.all(jnp.isfinite(g)))

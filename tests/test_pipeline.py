@@ -265,3 +265,34 @@ def test_refinement_temporal_coherence_matches(target):
             err_msg=f"temporal coherence diverged on {key}",
         )
 
+
+
+def test_pipeline_roi_matches_full_frame(target):
+    """ROI refinement converges like full-frame refinement.
+
+    The ROI render is exactly the crop of the full render
+    (tests/test_pallas.py pins that); end-to-end the only semantic
+    difference is that estimate pixels OUTSIDE the roi (empty target
+    there) leave the depth loss.  With the roi covering the observed
+    bbox + margin the refined pose must land in the same place.
+    """
+    config = _pipeline_config(max_iterations=30)
+    full = SDFPipeline(config)
+    depth = target["depth"]
+    mask = depth > 0
+    p_full, q_full, s_full, _ = full(depth, mask)
+
+    config_roi = dict(config, roi_size=[32, 32], roi_margin=2)
+    roi_pipe = SDFPipeline(config_roi)
+    assert roi_pipe._roi_for(depth[None]) == (32, 32)
+    p_roi, q_roi, s_roi, _ = roi_pipe(depth, mask)
+    for arr in (p_roi, q_roi, s_roi):
+        assert bool(jnp.all(jnp.isfinite(arr)))
+    # both runs start identically; they must agree to refinement noise
+    assert float(jnp.linalg.norm(p_roi - p_full)) < 5e-3
+    assert abs(float(s_roi[0] - s_full[0])) < 5e-3
+
+    # fallback: a roi that cannot cover bbox+margin -> full frame
+    config_small = dict(config, roi_size=[16, 16], roi_margin=8)
+    small = SDFPipeline(config_small)
+    assert small._roi_for(depth[None]) is None
