@@ -26,6 +26,7 @@ def sharded_refine_batch(
     camera_orientations: jax.Array,
     mesh: Optional[Mesh] = None,
     shape_optimization: bool = True,
+    roi=None,
 ):
     """Run :meth:`SDFPipeline.refine_batch` with hypotheses sharded on a mesh.
 
@@ -39,6 +40,9 @@ def sharded_refine_batch(
         depth_images / points / point_masks / camera_*: Shared view inputs.
         mesh: Device mesh (defaults to all local devices).
         shape_optimization: Optimize the latent during refinement.
+        roi: Optional static (Hr, Wr) depth-loss crop (see
+            :meth:`SDFPipeline._refine`); pass
+            ``pipeline._roi_for(depth_images)`` for the config policy.
     Returns:
         (final_states, best, log) with hypothesis-sharded outputs.
     """
@@ -57,7 +61,7 @@ def sharded_refine_batch(
          camera_orientations),
     )
     return pipeline.refine_batch(
-        states, *view_args, shape_optimization=shape_optimization
+        states, *view_args, shape_optimization=shape_optimization, roi=roi
     )
 
 
