@@ -539,22 +539,35 @@ class SDFPipeline:
         roi_cfg = self.config.get("roi_size")
         if not roi_cfg or self._use_temporal_coherence():
             return None
-        rh, rw = int(roi_cfg[0]), int(roi_cfg[1])
         h, w = self.camera.height, self.camera.width
-        if rh > h or rw > w:
-            return None
         margin = int(self.config.get("roi_margin", 48))
+        if roi_cfg == "auto":
+            # fixed menu of quarter/half-frame crops (16-aligned), smallest
+            # fitting one wins — candidates are static, so the compiled
+            # program count stays bounded by the menu size
+            align = lambda x: max(16, -(-int(x) // 16) * 16)  # ceil to 16
+            candidates = [
+                (align(h / 4), align(w / 4)),
+                (align(h / 2), align(w / 2)),
+            ]
+        else:
+            candidates = [(int(roi_cfg[0]), int(roi_cfg[1]))]
         import numpy as np_
 
         d = np_.asarray(depth_images > 0)
+        spans = []
         for v in range(d.shape[0]):
             ys, xs = np_.nonzero(d[v])
             if ys.size == 0:
                 continue
-            if (ys.max() - ys.min() + 1 + 2 * margin > rh
-                    or xs.max() - xs.min() + 1 + 2 * margin > rw):
-                return None
-        return (rh, rw)
+            spans.append((ys.max() - ys.min() + 1, xs.max() - xs.min() + 1))
+        for rh, rw in candidates:
+            if rh > h or rw > w:
+                continue
+            if all(sy + 2 * margin <= rh and sx + 2 * margin <= rw
+                   for sy, sx in spans):
+                return (rh, rw)
+        return None
 
     def _use_temporal_coherence(self) -> bool:
         """Whether refinement renders can use warm-started marching."""

@@ -296,3 +296,19 @@ def test_pipeline_roi_matches_full_frame(target):
     config_small = dict(config, roi_size=[16, 16], roi_margin=8)
     small = SDFPipeline(config_small)
     assert small._roi_for(depth[None]) is None
+
+
+def test_pipeline_roi_auto_menu(target):
+    """roi_size: auto picks the smallest fitting 16-aligned crop."""
+    config = _pipeline_config(max_iterations=2)
+    depth = target["depth"]
+    # 64x48 camera -> menu candidates (16, 16) then (32, 24->16)
+    pipe = SDFPipeline(dict(config, roi_size="auto", roi_margin=0))
+    roi = pipe._roi_for(depth[None])
+    assert roi is not None and roi[0] % 16 == 0 and roi[1] % 16 == 0
+    # huge margin -> nothing fits -> full frame
+    pipe2 = SDFPipeline(dict(config, roi_size="auto", roi_margin=64))
+    assert pipe2._roi_for(depth[None]) is None
+    # and the auto pipeline runs end-to-end
+    p, q, s, _ = pipe(depth, depth > 0)
+    assert bool(jnp.all(jnp.isfinite(p)))
