@@ -298,11 +298,14 @@ class SDFPipeline:
 
         With ``roi=(Hr, Wr)`` the depth loss renders only a per-view crop
         centered on the observed pixels (the crop of a full render,
-        exactly — see :func:`sdfest_tpu.render.render_depth`), so active
-        march tiles scale with the object's screen area instead of the
-        frame.  The pc loss and inlier ratio are unaffected: the pc loss
-        samples observed points, and the ROI covers every observed pixel
-        (``__call__`` falls back to full-frame when it would not).
+        exactly — see :func:`sdfest_tpu.render.render_depth`).  The
+        optimization problem is EXACTLY unchanged: the depth L1 and the
+        inlier ratio reduce over both-valid / observed pixels, all of
+        which lie inside the ROI (``__call__`` falls back to full-frame
+        when the observed bbox would not fit), and the pc loss samples
+        observed points.  What shrinks is every raster-sized cost around
+        the already object-proportional march — OBB prologue, loss and
+        cotangent rasters, backward tiling transposes — plus memory.
         """
         # standardize on float32 (the TPU-native compute dtype)
         to_f32 = lambda t: jax.tree_util.tree_map(
