@@ -57,6 +57,7 @@ def depth_to_pointcloud_dense(
     convention: str = "opengl",
     mask: Optional[jax.Array] = None,
     order: str = "raster",
+    pixel_offset: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Lift a depth image to a dense point array with validity mask (jittable).
 
@@ -72,6 +73,10 @@ def depth_to_pointcloud_dense(
             the Pallas sampling kernels stay on their windowed fast path —
             use it for point sets consumed by order-invariant reductions
             (e.g. the pc loss).
+        pixel_offset: Optional (2,) [row, col] (may be traced): the image is
+            an ROI crop starting at this pixel of ``camera``'s full frame,
+            so global pixel coordinates are local + offset.  Lifting an ROI
+            crop yields exactly the corresponding rows of the full lift.
     Returns:
         Tuple of points ``(H*W, 3)`` and boolean validity mask ``(H*W,)``.
         Invalid rows contain the lifted coordinates of zero depth (all-zero).
@@ -80,6 +85,9 @@ def depth_to_pointcloud_dense(
     h, w = depth_image.shape
     rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    if pixel_offset is not None:
+        rows = rows + pixel_offset[0].astype(jnp.float32)
+        cols = cols + pixel_offset[1].astype(jnp.float32)
     z = depth_image.astype(jnp.float32)
     if convention == "opengl":
         x = (cols - cx) * z / fx

@@ -345,6 +345,16 @@ class SDFPipeline:
             depth_rois = jax.vmap(
                 lambda d, o: jax.lax.dynamic_slice(d, (o[0], o[1]), roi)
             )(depth_images, offsets)
+            # re-lift the pc clouds from the crops (ROI-sized query rasters
+            # for the fused sample/scatter kernels).  Every VALID point is
+            # an observed pixel, and the ROI covers all observed pixels, so
+            # the pc loss is exactly unchanged (masked mean over the same
+            # valid set).
+            points, point_masks = jax.vmap(
+                lambda d, o: pointset.depth_to_pointcloud_dense(
+                    d, self.camera, order="tile", pixel_offset=o
+                )
+            )(depth_rois, offsets)
         else:
             offsets = jnp.zeros((n_views, 2), jnp.int32)
             depth_rois = depth_images

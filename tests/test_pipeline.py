@@ -312,3 +312,22 @@ def test_pipeline_roi_auto_menu(target):
     # and the auto pipeline runs end-to-end
     p, q, s, _ = pipe(depth, depth > 0)
     assert bool(jnp.all(jnp.isfinite(p)))
+
+
+def test_roi_pointcloud_lift_matches_full(target):
+    """ROI-lifted pc cloud == the corresponding rows of the full lift."""
+    from sdfest_tpu.ops import pointset as ps
+
+    pipe = SDFPipeline(_pipeline_config())
+    depth = jnp.asarray(target["depth"], jnp.float32)
+    full_pts, full_mask = ps.depth_to_pointcloud_dense(depth, pipe.camera)
+    off = jnp.asarray([16, 16], jnp.int32)
+    crop = jax.lax.dynamic_slice(depth, (off[0], off[1]), (32, 32))
+    roi_pts, roi_mask = ps.depth_to_pointcloud_dense(
+        crop, pipe.camera, pixel_offset=off
+    )
+    h, w = depth.shape
+    rows = full_pts.reshape(h, w, 3)[16:48, 16:48].reshape(-1, 3)
+    mrows = full_mask.reshape(h, w)[16:48, 16:48].reshape(-1)
+    np.testing.assert_array_equal(np.asarray(roi_pts), np.asarray(rows))
+    np.testing.assert_array_equal(np.asarray(roi_mask), np.asarray(mrows))
