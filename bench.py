@@ -225,14 +225,19 @@ def main():
         target_roi = jax.lax.dynamic_slice(
             target, (roi_off[0], roi_off[1]), roi
         )
+        # ROI-lifted pc cloud: exactly the valid points of the full lift
+        # (production _refine path does the same)
+        points_roi, pmask_roi = pointset.depth_to_pointcloud_dense(
+            target_roi, camera, order="tile", pixel_offset=roi_off
+        )
 
         def loss_fn_roi(p, q, s):
             est, pc_vals = render_depth_with_pc_values(
-                mug, p, q, s, points, pmask, camera=camera, threshold=0.005,
-                backend=backend, roi=roi, roi_offset=roi_off,
+                mug, p, q, s, points_roi, pmask_roi, camera=camera,
+                threshold=0.005, backend=backend, roi=roi, roi_offset=roi_off,
             )
             return L.depth_l1_loss(target_roi, est) + 3.0 * L.masked_mean_abs(
-                pc_vals, pmask
+                pc_vals, pmask_roi
             )
 
         @jax.jit
