@@ -126,7 +126,7 @@ _UNROLL_AUX = 2  # sub-steps in the corridor-tracking (aux) march: the five
 # the overlap certificate for a constant field along the ray (the graze-band
 # regime) holds exactly up to omega = 2; 1.9 leaves certification margin so
 # grazing rays almost never revert.
-import os as _os
+_os = _os0
 
 _OMEGA_INIT = float(_os.environ.get("SDFEST_OMEGA_INIT", 1.4))
 _OMEGA_GROW = float(_os.environ.get("SDFEST_OMEGA_GROW", 0.2))
