@@ -331,3 +331,28 @@ def test_roi_pointcloud_lift_matches_full(target):
     mrows = full_mask.reshape(h, w)[16:48, 16:48].reshape(-1)
     np.testing.assert_array_equal(np.asarray(roi_pts), np.asarray(rows))
     np.testing.assert_array_equal(np.asarray(roi_mask), np.asarray(mrows))
+
+
+def test_pipeline_roi_multi_view(target):
+    """Per-view ROI offsets: two views with different object positions."""
+    config = _pipeline_config(max_iterations=3)
+    pipe = SDFPipeline(dict(config, roi_size=[32, 32], roi_margin=2))
+    d0 = target["depth"]
+    # second view: same object, camera shifted -> different screen position
+    d1 = pipe.render(
+        target["sdf"],
+        target["position"] + jnp.asarray([0.05, 0.02, 0.0]),
+        target["orientation"],
+        1.0 / target["scale"],
+    )
+    depths = jnp.stack([d0, d1])
+    masks = depths > 0
+    assert int(masks[1].sum()) > 30
+    assert pipe._roi_for(depths) == (32, 32)
+    p, q, s, _ = pipe(
+        depths, masks,
+        camera_positions=jnp.zeros((2, 3)),
+        camera_orientations=jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                                     (2, 1)),
+    )
+    assert bool(jnp.all(jnp.isfinite(p))) and bool(jnp.all(jnp.isfinite(q)))
