@@ -276,6 +276,78 @@ def main():
             f"ROI refinement diverged: {pos_err_roi} mm vs {pos_err_last}"
         )
 
+    # coarse-to-fine refinement (pipeline multires_factor=2 schedule: 60%
+    # of the iteration budget against the strided quarter-raster — the
+    # SAME optimization problem on a pixel subset (Camera.strided), with
+    # ~1/4 the active march tiles — then the rest at full resolution)
+    multires_iters_per_sec = 0.0
+    multires_speedup = 0.0
+    if not args.quick:
+        cam2 = camera.strided(2)
+        target2 = target[::2, ::2]
+        points2, pmask2 = pointset.depth_to_pointcloud_dense(
+            target2, cam2, order="tile"
+        )
+
+        def loss_fn2(p, q, s):
+            est, pc_vals = render_depth_with_pc_values(
+                mug, p, q, s, points2, pmask2, camera=cam2, threshold=0.005,
+                backend=backend,
+            )
+            return L.depth_l1_loss(target2, est) + 3.0 * L.masked_mean_abs(
+                pc_vals, pmask2
+            )
+
+        n_coarse = (args.refine_iters * 3) // 5
+        n_fine = args.refine_iters - n_coarse
+
+        def make_refine(lf, n):
+            @jax.jit
+            def run(state):
+                opt_state = optimizer.init(state)
+
+                def step(carry, _):
+                    st, os_ = carry
+                    l, g = jax.value_and_grad(
+                        lambda s: lf(s["p"], s["q"], s["scale"])
+                    )(st)
+                    up, os_ = optimizer.update(g, os_)
+                    st = optax.apply_updates(st, up)
+                    st = dict(st, q=st["q"] / jnp.linalg.norm(st["q"]))
+                    return (st, os_), l
+
+                (st, _), ls = jax.lax.scan(
+                    step, (state, opt_state), jnp.arange(n)
+                )
+                return st, ls
+
+            return run
+
+        refine_coarse = make_refine(loss_fn2, n_coarse)
+        refine_fine = make_refine(loss_fn, n_fine)
+
+        def refine_mr(state):
+            st, _ = refine_coarse(state)
+            return refine_fine(st)
+
+        st_mr, ls_mr = refine_mr(s0)
+        block(ls_mr)
+        block(refine_mr(dict(s0, p=s0["p"] * 0.9999))[1])
+        t0 = time.perf_counter()
+        for i in range(max(args.reps, 1)):
+            st_mr, ls_mr = refine_mr(
+                dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1)))
+            )
+        block(ls_mr)
+        t_mr = (time.perf_counter() - t0) / max(args.reps, 1)
+        multires_iters_per_sec = args.refine_iters / t_mr
+        multires_speedup = t_refine / t_mr
+        pos_err_mr = float(jnp.linalg.norm(st_mr["p"] - true_p)) * 1000
+        # the schedule must converge like the single-phase program
+        assert pos_err_mr < 3 * max(pos_err_last, 2.0), (
+            f"multires refinement diverged: {pos_err_mr} mm vs {pos_err_last}"
+        )
+
     # hypothesis-parallel refinement (vmap of the same program over N
     # independent starts — the capability the reference lacks entirely;
     # aggregate hyp-iters/s is the production throughput number)
@@ -322,6 +394,8 @@ def main():
             "pos_err_first_last_mm": [round(pos_err_first, 1),
                                       round(pos_err_last, 2)],
             "roi_refine_iters_per_sec": round(roi_iters_per_sec, 2),
+            "multires_refine_iters_per_sec": round(multires_iters_per_sec, 2),
+            "multires_speedup_vs_full": round(multires_speedup, 2),
             "batched_hyp_iters_per_sec": round(hyp_iters_per_sec, 2),
             "batched_hypotheses": n_hyp,
             "mosaic_parity": {

@@ -38,6 +38,38 @@ class Camera:
         cy_corrected = self.cy - self.pixel_center + pixel_center
         return self.fx, self.fy, cx_corrected, cy_corrected, self.s
 
+    def strided(self, factor: int) -> "Camera":
+        """Camera observing every ``factor``-th pixel of this camera.
+
+        The returned camera's pixel ``(i, j)`` ray is MATHEMATICALLY
+        IDENTICAL to this camera's pixel ``(factor*i, factor*j)`` ray:
+        with ``c = cx - pixel_center`` the full-camera ray x-slope is
+        ``(factor*j + pixel_center - cx) / fx``, and choosing
+        ``fx' = fx/factor``, ``cx' = c/factor + pixel_center`` gives
+        ``(j + pixel_center - cx') / fx'`` = the same value.  Hence a
+        strided depth image ``depth[::factor, ::factor]`` is an EXACT
+        sub-observation: rendering with the strided camera equals the
+        strided full render per ray (coarse-to-fine refinement rests on
+        this — the downsampled problem is the same optimization problem
+        restricted to a pixel subset, not an approximation of it).
+        """
+        if factor < 1 or self.width % factor or self.height % factor:
+            raise ValueError(
+                f"stride {factor} must divide {self.width}x{self.height}"
+            )
+        if self.s != 0.0:
+            raise ValueError("strided() requires zero skew")
+        pc = self.pixel_center
+        return dataclasses.replace(
+            self,
+            width=self.width // factor,
+            height=self.height // factor,
+            fx=self.fx / factor,
+            fy=self.fy / factor,
+            cx=(self.cx - pc) / factor + pc,
+            cy=(self.cy - pc) / factor + pc,
+        )
+
     @staticmethod
     def from_fov(width: int, height: int, fov_deg: float) -> "Camera":
         """Construct a square-pixel camera from a horizontal field of view."""

@@ -281,11 +281,11 @@ class SDFPipeline:
             ),
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 9, 10, 11))
     def _refine(
         self,
         state: Dict[str, jax.Array],
-        depth_images: jax.Array,  # (V, H, W)
+        depth_images: jax.Array,  # (V, H, W) (strided when ds_factor > 1)
         points: jax.Array,  # (V, H*W, 3)
         point_masks: jax.Array,  # (V, H*W)
         camera_positions: jax.Array,  # (V, 3)
@@ -293,6 +293,8 @@ class SDFPipeline:
         shape_optimization: bool = True,
         point_constraint: Optional[Tuple[jax.Array, jax.Array, float]] = None,
         roi: Optional[Tuple[int, int]] = None,
+        ds_factor: int = 1,
+        num_iterations: Optional[int] = None,
     ):
         """Jitted iterative refinement: one XLA program for the full loop.
 
@@ -306,6 +308,20 @@ class SDFPipeline:
         observed points.  What shrinks is every raster-sized cost around
         the already object-proportional march — OBB prologue, loss and
         cotangent rasters, backward tiling transposes — plus memory.
+
+        With ``ds_factor=f > 1`` the refinement runs against the STRIDED
+        sub-observation: ``depth_images``/``points`` must already be the
+        ``[::f, ::f]`` slices of the full-frame inputs lifted with
+        ``self.camera.strided(f)`` (see :meth:`Camera.strided`: the
+        strided camera's rays are mathematically identical to every f-th
+        full-camera ray, so this is the same optimization problem
+        restricted to a pixel subset — not a blurred approximation).
+        Used by the coarse phase of coarse-to-fine refinement
+        (``multires_factor``/``multires_iterations`` config keys): active
+        march tiles scale with the object's projected area, so a coarse
+        iteration costs roughly ``1/f^2`` of a full one while the pose is
+        still far from converged.  ``num_iterations`` overrides the
+        config ``max_iterations`` (each phase runs its own scan length).
         """
         # standardize on float32 (the TPU-native compute dtype)
         to_f32 = lambda t: jax.tree_util.tree_map(
@@ -329,15 +345,22 @@ class SDFPipeline:
                 "disabled dead code (loss_nn = 0, simple_setup.py:151-161); "
                 "the key exists for config compatibility only."
             )
-        max_iterations = self.config["max_iterations"]
+        max_iterations = (
+            num_iterations if num_iterations is not None
+            else self.config["max_iterations"]
+        )
         use_warm = self._use_temporal_coherence()
         refresh_k = int(self.config.get("temporal_refresh_interval", 8))
         n_views = depth_images.shape[0]
+        cam = self.camera if ds_factor == 1 else self.camera.strided(ds_factor)
         # zero-sized warm state when disabled (nothing rides the scan carry)
-        hw = (self.camera.height, self.camera.width) if use_warm else (0, 0)
+        hw = (cam.height, cam.width) if use_warm else (0, 0)
         if roi is not None and use_warm:
             raise ValueError("roi refinement and temporal_coherence are "
                              "mutually exclusive")
+        if ds_factor != 1 and use_warm:
+            raise ValueError("multires refinement and temporal_coherence "
+                             "are mutually exclusive")
         if roi is not None:
             offsets = jax.vmap(lambda d: _roi_offset_for(d, roi))(
                 depth_images
@@ -352,7 +375,7 @@ class SDFPipeline:
             # valid set).
             points, point_masks = jax.vmap(
                 lambda d, o: pointset.depth_to_pointcloud_dense(
-                    d, self.camera, order="tile", pixel_offset=o
+                    d, cam, order="tile", pixel_offset=o
                 )
             )(depth_rois, offsets)
         else:
@@ -382,7 +405,7 @@ class SDFPipeline:
                 depth_estimate, pc_values = render_depth_with_pc_values(
                     latent_sdf, position_c, orientation_c, scale,
                     pts, pts_mask,
-                    camera=self.camera,
+                    camera=cam,
                     threshold=self.config["threshold"],
                     backend=self.config.get("renderer_backend", "auto"),
                     relaxation=self.config.get("relaxation", 1.0),
@@ -582,6 +605,38 @@ class SDFPipeline:
                 return (rh, rw)
         return None
 
+    def _multires_for(self) -> Optional[Tuple[int, int]]:
+        """Resolve the coarse-to-fine schedule ``(factor, coarse_iters)``.
+
+        Config ``multires_factor: f`` (int > 1) + ``multires_iterations: n``
+        (int > 0) opt in.  Falls back to single-phase (returns None) when
+        the stride does not divide the raster, when the strided raster
+        would knock the pallas backend off its tiled fast path (H/f or W/f
+        not a multiple of the march tile), when temporal coherence is on,
+        or when the camera has skew.  The coarse phase never uses an ROI
+        (its raster is already small); the fine phase keeps the existing
+        ROI logic.
+        """
+        factor = int(self.config.get("multires_factor", 1) or 1)
+        n = int(self.config.get("multires_iterations", 0) or 0)
+        if factor <= 1 or n <= 0 or self._use_temporal_coherence():
+            return None
+        h, w = self.camera.height, self.camera.width
+        if h % factor or w % factor or self.camera.s != 0.0:
+            return None
+        from sdfest_tpu.render import resolve_backend
+        from sdfest_tpu.render.pallas_kernel import TILE
+
+        if resolve_backend(
+            self.config.get("renderer_backend", "auto")
+        ) == "pallas" and ((h // factor) % TILE or (w // factor) % TILE):
+            return None
+        # the final phase always runs at full resolution
+        n = min(n, int(self.config["max_iterations"]) - 1)
+        if n <= 0:
+            return None
+        return factor, n
+
     def _use_temporal_coherence(self) -> bool:
         """Whether refinement renders can use warm-started marching."""
         from sdfest_tpu.render import resolve_backend
@@ -731,6 +786,38 @@ class SDFPipeline:
             "scale": scale,
             "latent": latent,
         }
+        # coarse-to-fine: run the first iterations against the strided
+        # sub-observation (identical rays, ~1/f^2 the active march tiles),
+        # then finish at full resolution.  Best-inlier tracking runs over
+        # the fine phase only (coarse-raster inlier ratios are not
+        # comparable with full-raster ones); the coarse result hands over
+        # via the running state.
+        multires = self._multires_for()
+        coarse_log = None
+        fine_iters = None
+        if multires is not None:
+            factor, coarse_iters = multires
+            cam_coarse = self.camera.strided(factor)
+            depth_coarse = depth_images[:, ::factor, ::factor]
+            points_c, point_masks_c = jax.vmap(
+                lambda d: pointset.depth_to_pointcloud_dense(
+                    d, cam_coarse, order="tile"
+                )
+            )(depth_coarse)
+            state, _, coarse_log = self._refine(
+                state,
+                depth_coarse,
+                points_c,
+                point_masks_c,
+                camera_positions,
+                camera_orientations,
+                shape_optimization,
+                point_constraint,
+                None,
+                factor,
+                coarse_iters,
+            )
+            fine_iters = int(self.config["max_iterations"]) - coarse_iters
         state, best, log = self._refine(
             state,
             depth_images,
@@ -741,7 +828,13 @@ class SDFPipeline:
             shape_optimization,
             point_constraint,
             self._roi_for(depth_images),
+            1,
+            fine_iters,
         )
+        if coarse_log is not None:
+            log = {
+                k: jnp.concatenate([coarse_log[k], log[k]]) for k in log
+            }
 
         if log_path is not None or animation_path is not None:
             log_np = {k: np.asarray(v) for k, v in log.items()}

@@ -118,9 +118,10 @@ _UNROLL = int(_os0.environ.get("SDFEST_UNROLL", 3))  # fine sub-steps per while 
 _UNROLL_COARSE = int(_os0.environ.get("SDFEST_UNROLL_COARSE", 2))  # bound
 # sub-steps per coarse iteration (same overhead-amortization logic;
 # lookups are ~4x cheaper than fine samples)
-_UNROLL_AUX = 2  # sub-steps in the corridor-tracking (aux) march: the five
-# corridor carries raise VMEM pressure, and 3 sub-steps blow the 16 MiB
-# scoped-vmem budget (measured 17.01M)
+_UNROLL_AUX = int(_os0.environ.get("SDFEST_UNROLL_AUX", 2))  # sub-steps in
+# the corridor-tracking (aux) march: the five corridor carries raise VMEM
+# pressure, and 3 sub-steps blew the DEFAULT 16 MiB scoped-vmem budget
+# (measured 17.01M) — re-testable since the 64 MiB ceiling shipped
 # per-ray auto-over-relaxation (v2 culling march, ``adaptive``): initial /
 # growth / cap of the overstep factor omega.  The cap stays below 2 because
 # the overlap certificate for a constant field along the ray (the graze-band

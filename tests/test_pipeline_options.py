@@ -137,3 +137,58 @@ def test_mean_shape_ablation():
     )
     # with mean_shape and no shape optimization the latent stays ~zero
     np.testing.assert_allclose(np.asarray(latent), 0.0, atol=1e-2)
+
+
+def test_multires_refinement_runs_and_logs_full_schedule(tmp_path):
+    """Coarse-to-fine: coarse phase on the strided sub-observation, fine
+    phase at full resolution, concatenated step log."""
+    import pickle
+
+    config = _config(
+        max_iterations=6, multires_factor=2, multires_iterations=3
+    )
+    pipeline = SDFPipeline(config)
+    assert pipeline._multires_for() == (2, 3)
+    depth, mask = _scene(pipeline)
+    log_path = str(tmp_path / "log.pkl")
+    position, orientation, scale, latent = pipeline(
+        depth, mask, log_path=log_path
+    )
+    assert bool(jnp.all(jnp.isfinite(position)))
+    np.testing.assert_allclose(float(jnp.linalg.norm(orientation)), 1.0,
+                               atol=1e-5)
+    with open(log_path, "rb") as f:
+        log = pickle.load(f)["log"]
+    # both phases land in one log covering the full iteration budget
+    assert log["loss"].shape[0] == 6
+    assert np.all(np.isfinite(log["loss"]))
+
+
+def test_multires_gating():
+    # stride must divide the raster
+    config = _config(multires_factor=5, multires_iterations=3)
+    assert SDFPipeline(config)._multires_for() is None
+    # coarse iterations are clamped below max_iterations
+    config = _config(max_iterations=4, multires_factor=2,
+                     multires_iterations=99)
+    assert SDFPipeline(config)._multires_for() == (2, 3)
+    # disabled by default
+    assert SDFPipeline(_config())._multires_for() is None
+
+
+def test_multires_converges_like_single_phase():
+    """The strided coarse phase must not hurt final accuracy (same
+    optimization problem on a pixel subset)."""
+    true_p = jnp.asarray([0.02, -0.01, -0.45])
+    base = _config(max_iterations=12)
+    mr = _config(max_iterations=12, multires_factor=2,
+                 multires_iterations=6)
+    errs = {}
+    for name, cfg in (("single", base), ("multires", mr)):
+        pipeline = SDFPipeline(cfg)
+        depth, mask = _scene(pipeline)
+        position, _, _, _ = pipeline(depth, mask)
+        errs[name] = float(jnp.linalg.norm(position[0] - true_p))
+    # 12 iterations only nudge the estimate; require the multires path to
+    # track the single-phase error within a loose band (same problem)
+    assert errs["multires"] < max(2.0 * errs["single"], 0.02), errs

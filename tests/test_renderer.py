@@ -168,3 +168,47 @@ def test_render_is_vmappable():
     np.testing.assert_allclose(
         np.asarray(depths), np.asarray(singles), atol=1e-6
     )
+
+
+def test_strided_camera_rays_and_render_match_strided_full():
+    """Camera.strided(f): identical rays -> rendering IS the strided render.
+
+    This is the exactness property coarse-to-fine refinement rests on
+    (pipeline ``multires_factor``): the strided sub-problem is the same
+    optimization problem on a pixel subset, not an approximation.
+    """
+    for pc in (0.0, 0.5):
+        cam = Camera(width=64, height=48, fx=33.0, fy=31.0, cx=31.7,
+                     cy=24.3, pixel_center=pc)
+        for f in (2, 4):
+            d_full = np.asarray(pixel_directions(cam))
+            d_str = np.asarray(pixel_directions(cam.strided(f)))
+            np.testing.assert_allclose(d_full[::f, ::f], d_str, atol=1e-7)
+    sdf = jnp.asarray(make_sphere_sdf(64))
+    cam = Camera(width=64, height=48, fx=32, fy=32, cx=31.5, cy=23.5,
+                 pixel_center=0.5)
+    full = np.asarray(
+        render_depth(sdf, jnp.asarray(POSITION), jnp.asarray(QUAT),
+                     jnp.asarray(INV_SCALE), camera=cam, threshold=0.005)
+    )
+    coarse = np.asarray(
+        render_depth(sdf, jnp.asarray(POSITION), jnp.asarray(QUAT),
+                     jnp.asarray(INV_SCALE), camera=cam.strided(2),
+                     threshold=0.005)
+    )
+    sub = full[::2, ::2]
+    # identical rays march identically up to fp association noise; allow
+    # a few termination-band flips on graze pixels
+    agree = (sub > 0) == (coarse > 0)
+    assert agree.mean() > 0.995
+    both = (sub > 0) & (coarse > 0)
+    np.testing.assert_allclose(sub[both], coarse[both], atol=1e-4)
+
+
+def test_strided_camera_rejects_bad_strides():
+    cam = Camera(width=64, height=48, fx=32, fy=32, cx=32, cy=24,
+                 pixel_center=0.5)
+    with pytest.raises(ValueError):
+        cam.strided(5)  # does not divide 48
+    with pytest.raises(ValueError):
+        cam.strided(0)
