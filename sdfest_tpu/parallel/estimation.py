@@ -27,6 +27,7 @@ def sharded_refine_batch(
     mesh: Optional[Mesh] = None,
     shape_optimization: bool = True,
     roi=None,
+    multires=None,
 ):
     """Run :meth:`SDFPipeline.refine_batch` with hypotheses sharded on a mesh.
 
@@ -43,6 +44,9 @@ def sharded_refine_batch(
         roi: Optional static (Hr, Wr) depth-loss crop (see
             :meth:`SDFPipeline._refine`); pass
             ``pipeline._roi_for(depth_images)`` for the config policy.
+        multires: Optional static (factor, coarse_iters) coarse-to-fine
+            schedule (see :meth:`SDFPipeline.refine_batch`); pass
+            ``pipeline._multires_for()`` for the config policy.
     Returns:
         (final_states, best, log) with hypothesis-sharded outputs.
     """
@@ -61,7 +65,8 @@ def sharded_refine_batch(
          camera_orientations),
     )
     return pipeline.refine_batch(
-        states, *view_args, shape_optimization=shape_optimization, roi=roi
+        states, *view_args, shape_optimization=shape_optimization, roi=roi,
+        multires=multires,
     )
 
 

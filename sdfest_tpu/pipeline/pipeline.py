@@ -931,6 +931,7 @@ class SDFPipeline:
         camera_orientations: jax.Array,
         shape_optimization: bool = True,
         roi: Optional[Tuple[int, int]] = None,
+        multires: Optional[Tuple[int, int]] = None,
     ):
         """Refine a batch of hypotheses in parallel (vmap of the scan program).
 
@@ -938,8 +939,35 @@ class SDFPipeline:
         shared.  Hypotheses are independent, so this maps perfectly onto
         data-parallel TPU meshes with zero cross-device communication.
         ``roi`` as in :meth:`_refine` (pass ``self._roi_for(depth_images)``
-        to apply the config policy).
+        to apply the config policy).  ``multires=(factor, coarse_iters)``
+        runs the coarse-to-fine schedule per hypothesis (pass
+        ``self._multires_for()`` for the config policy; the coarse phase
+        strides ``depth_images`` internally and never uses an ROI).
         """
+        fine_iters = None
+        if multires is not None:
+            factor, coarse_iters = multires
+            cam_coarse = self.camera.strided(factor)
+            depth_coarse = depth_images[:, ::factor, ::factor]
+            points_c, point_masks_c = jax.vmap(
+                lambda d: pointset.depth_to_pointcloud_dense(
+                    d, cam_coarse, order="tile"
+                )
+            )(depth_coarse)
+            refine_coarse = functools.partial(
+                self._refine,
+                depth_images=depth_coarse,
+                points=points_c,
+                point_masks=point_masks_c,
+                camera_positions=camera_positions,
+                camera_orientations=camera_orientations,
+                shape_optimization=shape_optimization,
+                roi=None,
+                ds_factor=factor,
+                num_iterations=coarse_iters,
+            )
+            states = jax.vmap(lambda s: refine_coarse(s)[0])(states)
+            fine_iters = int(self.config["max_iterations"]) - coarse_iters
         refine = functools.partial(
             self._refine,
             depth_images=depth_images,
@@ -949,6 +977,7 @@ class SDFPipeline:
             camera_orientations=camera_orientations,
             shape_optimization=shape_optimization,
             roi=roi,
+            num_iterations=fine_iters,
         )
         return jax.vmap(lambda s: refine(s))(states)
 
