@@ -67,6 +67,10 @@ _SLOW_TESTS = {
     "test_play_log_modes_and_mesh_export",
     "test_latent_explorer_keyframed_animation",
     "test_pipeline_inline_animation_export",
+    "test_multires_refinement_runs_and_logs_full_schedule",
+    "test_multires_converges_like_single_phase",
+    "test_sharded_refinement_with_multires_schedule",
+    "test_strided_camera_rays_and_render_match_strided_full",
 }
 
 

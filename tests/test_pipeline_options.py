@@ -145,11 +145,14 @@ def test_multires_refinement_runs_and_logs_full_schedule(tmp_path):
     import pickle
 
     config = _config(
-        max_iterations=6, multires_factor=2, multires_iterations=3
+        max_iterations=6, multires_factor=2, multires_iterations=3,
+        roi_size=[32, 32], roi_margin=4,
     )
     pipeline = SDFPipeline(config)
     assert pipeline._multires_for() == (2, 3)
     depth, mask = _scene(pipeline)
+    # the ROI applies to the fine phase (composition with multires)
+    assert pipeline._roi_for(depth[None]) == (32, 32)
     log_path = str(tmp_path / "log.pkl")
     position, orientation, scale, latent = pipeline(
         depth, mask, log_path=log_path
