@@ -947,6 +947,12 @@ class SDFPipeline:
         fine_iters = None
         if multires is not None:
             factor, coarse_iters = multires
+            if coarse_iters >= int(self.config["max_iterations"]):
+                raise ValueError(
+                    "multires coarse_iters must leave at least one "
+                    "full-resolution iteration "
+                    f"(got {coarse_iters} >= {self.config['max_iterations']})"
+                )
             cam_coarse = self.camera.strided(factor)
             depth_coarse = depth_images[:, ::factor, ::factor]
             points_c, point_masks_c = jax.vmap(

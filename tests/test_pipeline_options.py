@@ -177,6 +177,11 @@ def test_multires_gating():
     assert SDFPipeline(config)._multires_for() == (2, 3)
     # disabled by default
     assert SDFPipeline(_config())._multires_for() is None
+    # refine_batch rejects schedules with no full-resolution iterations
+    pipeline = SDFPipeline(_config(max_iterations=4))
+    with pytest.raises(ValueError, match="full-resolution iteration"):
+        pipeline.refine_batch(None, None, None, None, None, None,
+                              multires=(2, 4))
 
 
 def test_multires_converges_like_single_phase():
