@@ -27,6 +27,22 @@ if not _USE_TPU:
     # enable float64 so numeric-gradient checks are meaningful on CPU
     jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the suite is compile-dominated (~24 min of
+# mostly XLA compiles on CPU), and cache keys hash the HLO, so edits
+# invalidate exactly the programs they change
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    # the suite's cost is many ~1 s compiles, below the default 1 s
+    # persistence threshold — cache everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
