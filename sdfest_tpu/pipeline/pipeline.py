@@ -618,7 +618,14 @@ class SDFPipeline:
         ROI logic.
         """
         factor = int(self.config.get("multires_factor", 1) or 1)
-        n = int(self.config.get("multires_iterations", 0) or 0)
+        n_cfg = self.config.get("multires_iterations", 0)
+        if n_cfg == "auto":
+            # 60% of the budget at coarse: the estimate is far from
+            # converged for most of the trajectory, and the remaining 40%
+            # at full resolution is ample polish (bench schedule)
+            n = (int(self.config["max_iterations"]) * 3) // 5
+        else:
+            n = int(n_cfg or 0)
         if factor <= 1 or n <= 0 or self._use_temporal_coherence():
             return None
         h, w = self.camera.height, self.camera.width

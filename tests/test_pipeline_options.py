@@ -175,6 +175,10 @@ def test_multires_gating():
     config = _config(max_iterations=4, multires_factor=2,
                      multires_iterations=99)
     assert SDFPipeline(config)._multires_for() == (2, 3)
+    # "auto" takes 60% of the budget at coarse
+    config = _config(max_iterations=50, multires_factor=2,
+                     multires_iterations="auto")
+    assert SDFPipeline(config)._multires_for() == (2, 30)
     # disabled by default
     assert SDFPipeline(_config())._multires_for() is None
     # refine_batch rejects schedules with no full-resolution iterations
