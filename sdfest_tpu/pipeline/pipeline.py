@@ -849,6 +849,10 @@ class SDFPipeline:
             # preprocessed inputs travel with the log so playback can
             # reproduce error images / input overlays without the dataset
             log_np["depth_input"] = np.asarray(depth_images)
+            if multires is not None:
+                # iterations before this index ran on the strided coarse
+                # observation (their losses reduce over fewer pixels)
+                log_np["multires_boundary"] = multires[1]
             data = {"config": _plain_config(self.config), "log": log_np}
             if log_path is not None:
                 with open(log_path, "wb") as f:

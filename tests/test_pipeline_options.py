@@ -162,9 +162,11 @@ def test_multires_refinement_runs_and_logs_full_schedule(tmp_path):
                                atol=1e-5)
     with open(log_path, "rb") as f:
         log = pickle.load(f)["log"]
-    # both phases land in one log covering the full iteration budget
+    # both phases land in one log covering the full iteration budget,
+    # with the phase boundary recorded for consumers
     assert log["loss"].shape[0] == 6
     assert np.all(np.isfinite(log["loss"]))
+    assert log["multires_boundary"] == 3
 
 
 def test_multires_gating():
@@ -175,6 +177,12 @@ def test_multires_gating():
     config = _config(max_iterations=4, multires_factor=2,
                      multires_iterations=99)
     assert SDFPipeline(config)._multires_for() == (2, 3)
+    # multires defers to temporal coherence (the warm march has no
+    # strided-camera path); _use_temporal_coherence is backend-gated, so
+    # force it the way a pallas-backend run would see it
+    pipeline = SDFPipeline(_config(multires_factor=2, multires_iterations=3))
+    pipeline._use_temporal_coherence = lambda: True
+    assert pipeline._multires_for() is None
     # "auto" takes 60% of the budget at coarse
     config = _config(max_iterations=50, multires_factor=2,
                      multires_iterations="auto")
