@@ -212,3 +212,35 @@ def test_multires_converges_like_single_phase():
     # 12 iterations only nudge the estimate; require the multires path to
     # track the single-phase error within a loose band (same problem)
     assert errs["multires"] < max(2.0 * errs["single"], 0.02), errs
+
+
+def test_early_stop_freezes_after_plateau(tmp_path):
+    """early_stop_delta > 0: once the loss plateaus, remaining iterations
+    freeze (logged inactive, state constant), result stays finite."""
+    import pickle
+
+    config = _config(
+        max_iterations=8, early_stop_delta=1.0, early_stop_interval=2
+    )
+    pipeline = SDFPipeline(config)
+    depth, mask = _scene(pipeline)
+    log_path = str(tmp_path / "log.pkl")
+    position, orientation, scale, latent = pipeline(
+        depth, mask, log_path=log_path
+    )
+    assert bool(jnp.all(jnp.isfinite(position)))
+    with open(log_path, "rb") as f:
+        log = pickle.load(f)["log"]
+    active = log["active"]
+    assert active.shape[0] == 8
+    # delta=1.0 demands a >=100% relative improvement per interval: the
+    # refinement must freeze before exhausting the budget
+    assert active.sum() < 8
+    # active iterations are a prefix (frozen never resumes)
+    assert np.all(np.diff(active) <= 0)
+    # frozen rows re-log the last active row
+    last_active = int(active.sum()) - 1
+    np.testing.assert_array_equal(
+        log["position"][last_active], log["position"][-1]
+    )
+    np.testing.assert_array_equal(log["loss"][last_active], log["loss"][-1])
