@@ -222,12 +222,25 @@ def main():
     pos_err_first = float(jnp.linalg.norm(s0["p"] - true_p)) * 1000
     pos_err_last = float(jnp.linalg.norm(st["p"] - true_p)) * 1000
 
+    def run_stage(name, fn, default):
+        """Optional stages fail soft on transient backend errors (a late
+        tunnel hiccup must not zero the headline), but parity / convergence
+        AssertionErrors stay fatal — they are the quality gates."""
+        try:
+            return fn()
+        except AssertionError:
+            raise
+        except Exception as e:  # noqa: BLE001 — deliberate fail-soft
+            print(f"bench stage {name} failed soft "
+                  f"({type(e).__name__}: {e}); reporting {default}",
+                  file=sys.stderr)
+            return default
+
     # ROI refinement (the production fast path): identical losses computed
     # on a 256x192 crop centered on the observed object — the ROI render is
     # exactly the crop of the full render, so this is the same optimization
     # problem with active march tiles scaling by object area
-    roi_iters_per_sec = 0.0
-    if not args.quick:
+    def _roi_stage():
         from sdfest_tpu.pipeline.pipeline import _roi_offset_for
 
         roi = (192, 256)
@@ -279,20 +292,22 @@ def main():
             )
         block(ls_roi)
         t_roi = (time.perf_counter() - t0) / max(args.reps, 1)
-        roi_iters_per_sec = args.refine_iters / t_roi
         # ROI refinement must converge like the full-frame program
         pos_err_roi = float(jnp.linalg.norm(st_roi["p"] - true_p)) * 1000
         assert pos_err_roi < 3 * max(pos_err_last, 2.0), (
             f"ROI refinement diverged: {pos_err_roi} mm vs {pos_err_last}"
         )
+        return args.refine_iters / t_roi
+
+    roi_iters_per_sec = (
+        run_stage("roi_refine", _roi_stage, 0.0) if not args.quick else 0.0
+    )
 
     # coarse-to-fine refinement (pipeline multires_factor=2 schedule: 60%
     # of the iteration budget against the strided quarter-raster — the
     # SAME optimization problem on a pixel subset (Camera.strided), with
     # ~1/4 the active march tiles — then the rest at full resolution)
-    multires_iters_per_sec = 0.0
-    multires_speedup = 0.0
-    if not args.quick:
+    def _multires_stage():
         cam2 = camera.strided(2)
         target2 = target[::2, ::2]
         points2, pmask2 = pointset.depth_to_pointcloud_dense(
@@ -350,20 +365,25 @@ def main():
             )
         block(ls_mr)
         t_mr = (time.perf_counter() - t0) / max(args.reps, 1)
-        multires_iters_per_sec = args.refine_iters / t_mr
-        multires_speedup = t_refine / t_mr
         pos_err_mr = float(jnp.linalg.norm(st_mr["p"] - true_p)) * 1000
         # the schedule must converge like the single-phase program
         assert pos_err_mr < 3 * max(pos_err_last, 2.0), (
             f"multires refinement diverged: {pos_err_mr} mm vs {pos_err_last}"
         )
+        return args.refine_iters / t_mr, t_refine / t_mr
+
+    multires_iters_per_sec, multires_speedup = (
+        run_stage("multires_refine", _multires_stage, (0.0, 0.0))
+        if not args.quick
+        else (0.0, 0.0)
+    )
 
     # hypothesis-parallel refinement (vmap of the same program over N
     # independent starts — the capability the reference lacks entirely;
     # aggregate hyp-iters/s is the production throughput number)
     n_hyp = 0 if args.quick else args.hypotheses
-    hyp_iters_per_sec = 0.0
-    if n_hyp:
+
+    def _hyp_stage():
         keys = jax.random.split(jax.random.PRNGKey(7), n_hyp)
         batch0 = {
             "p": s0["p"][None]
@@ -381,7 +401,11 @@ def main():
             )
         block(lsb)
         t_b = (time.perf_counter() - t0) / max(args.reps, 1)
-        hyp_iters_per_sec = n_hyp * args.refine_iters / t_b
+        return n_hyp * args.refine_iters / t_b
+
+    hyp_iters_per_sec = (
+        run_stage("hypothesis_batch", _hyp_stage, 0.0) if n_hyp else 0.0
+    )
 
     result = {
         "metric": "mug_refine_iters_per_sec_640x480_64cube"
