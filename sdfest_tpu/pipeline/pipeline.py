@@ -281,7 +281,7 @@ class SDFPipeline:
             ),
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 9, 10, 11))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 9, 10, 11, 12))
     def _refine(
         self,
         state: Dict[str, jax.Array],
@@ -295,6 +295,7 @@ class SDFPipeline:
         roi: Optional[Tuple[int, int]] = None,
         ds_factor: int = 1,
         num_iterations: Optional[int] = None,
+        allow_early_stop: bool = True,
     ):
         """Jitted iterative refinement: one XLA program for the full loop.
 
@@ -546,9 +547,19 @@ class SDFPipeline:
         # fixed length (``log["active"]`` records which iterations worked).
         # The reference runs a fixed budget; this is the production upgrade
         # for easy instances where 50-150 iterations are 2x more than
-        # convergence needs.
-        early_delta = float(self.config.get("early_stop_delta", 0.0) or 0.0)
+        # convergence needs.  UNBATCHED refinement only: under vmap
+        # (refine_batch) the per-hypothesis cond lowers to a select that
+        # executes BOTH branches, so the freeze would save nothing —
+        # batched callers pass allow_early_stop=False.
+        early_delta = (
+            float(self.config.get("early_stop_delta", 0.0) or 0.0)
+            if allow_early_stop else 0.0
+        )
         early_interval = int(self.config.get("early_stop_interval", 10))
+        if early_delta > 0.0 and early_interval < 1:
+            raise ValueError(
+                f"early_stop_interval must be >= 1, got {early_interval}"
+            )
 
         if early_delta > 0.0:
 
@@ -663,6 +674,22 @@ class SDFPipeline:
                    for sy, sx in spans):
                 return (rh, rw)
         return None
+
+    def _multires_inputs(self, depth_images: jax.Array, factor: int):
+        """Strided coarse-phase inputs for coarse-to-fine refinement.
+
+        Returns ``(depth_coarse, points, point_masks)`` — the exact
+        ``[::f, ::f]`` sub-observation lifted with ``camera.strided(f)``
+        (shared by ``__call__`` and ``refine_batch``).
+        """
+        cam_coarse = self.camera.strided(factor)
+        depth_coarse = depth_images[:, ::factor, ::factor]
+        points_c, point_masks_c = jax.vmap(
+            lambda d: pointset.depth_to_pointcloud_dense(
+                d, cam_coarse, order="tile"
+            )
+        )(depth_coarse)
+        return depth_coarse, points_c, point_masks_c
 
     def _multires_for(self) -> Optional[Tuple[int, int]]:
         """Resolve the coarse-to-fine schedule ``(factor, coarse_iters)``.
@@ -863,13 +890,9 @@ class SDFPipeline:
         fine_iters = None
         if multires is not None:
             factor, coarse_iters = multires
-            cam_coarse = self.camera.strided(factor)
-            depth_coarse = depth_images[:, ::factor, ::factor]
-            points_c, point_masks_c = jax.vmap(
-                lambda d: pointset.depth_to_pointcloud_dense(
-                    d, cam_coarse, order="tile"
-                )
-            )(depth_coarse)
+            depth_coarse, points_c, point_masks_c = self._multires_inputs(
+                depth_images, factor
+            )
             state, _, coarse_log = self._refine(
                 state,
                 depth_coarse,
@@ -1012,8 +1035,13 @@ class SDFPipeline:
         to apply the config policy).  ``multires=(factor, coarse_iters)``
         runs the coarse-to-fine schedule per hypothesis (pass
         ``self._multires_for()`` for the config policy; the coarse phase
-        strides ``depth_images`` internally and never uses an ROI).
+        strides ``depth_images`` internally and never uses an ROI); the
+        returned log concatenates both phases, covering the full
+        ``max_iterations`` like :meth:`__call__`.  ``early_stop_delta`` is
+        ignored here: under vmap the per-hypothesis freeze cond lowers to
+        a select that executes both branches, so it could only add cost.
         """
+        coarse_log = None
         fine_iters = None
         if multires is not None:
             factor, coarse_iters = multires
@@ -1023,13 +1051,9 @@ class SDFPipeline:
                     "full-resolution iteration "
                     f"(got {coarse_iters} >= {self.config['max_iterations']})"
                 )
-            cam_coarse = self.camera.strided(factor)
-            depth_coarse = depth_images[:, ::factor, ::factor]
-            points_c, point_masks_c = jax.vmap(
-                lambda d: pointset.depth_to_pointcloud_dense(
-                    d, cam_coarse, order="tile"
-                )
-            )(depth_coarse)
+            depth_coarse, points_c, point_masks_c = self._multires_inputs(
+                depth_images, factor
+            )
             refine_coarse = functools.partial(
                 self._refine,
                 depth_images=depth_coarse,
@@ -1041,8 +1065,11 @@ class SDFPipeline:
                 roi=None,
                 ds_factor=factor,
                 num_iterations=coarse_iters,
+                allow_early_stop=False,
             )
-            states = jax.vmap(lambda s: refine_coarse(s)[0])(states)
+            states, _, coarse_log = jax.vmap(
+                lambda s: refine_coarse(s)
+            )(states)
             fine_iters = int(self.config["max_iterations"]) - coarse_iters
         refine = functools.partial(
             self._refine,
@@ -1054,8 +1081,15 @@ class SDFPipeline:
             shape_optimization=shape_optimization,
             roi=roi,
             num_iterations=fine_iters,
+            allow_early_stop=False,
         )
-        return jax.vmap(lambda s: refine(s))(states)
+        final, best, log = jax.vmap(lambda s: refine(s))(states)
+        if coarse_log is not None:
+            log = {
+                k: jnp.concatenate([coarse_log[k], log[k]], axis=1)
+                for k in log
+            }
+        return final, best, log
 
     def generate_depth(
         self,

@@ -158,6 +158,7 @@ def test_sharded_refinement_with_multires_schedule():
         multires=pipeline._multires_for(),
     )
     assert final_states["position"].shape == (8, 1, 3)
-    # the fine phase runs max_iterations - coarse_iters steps
-    assert log["loss"].shape == (8, 2)
+    # both phases land in the log (coarse 2 + fine 2 = max_iterations)
+    assert log["loss"].shape == (8, 4)
     assert bool(jnp.all(jnp.isfinite(final_states["position"])))
+    assert bool(jnp.all(jnp.isfinite(log["loss"])))
