@@ -252,7 +252,11 @@ def main():
     # on a 256x192 crop centered on the observed object — the ROI render is
     # exactly the crop of the full render, so this is the same optimization
     # problem with active march tiles scaling by object area
-    def _roi_stage():
+    # ROI inputs (shared by the roi and production stages): the crop render
+    # is exactly the crop of the full render, so these losses are the same
+    # optimization problem on the same observed pixels.  Skipped in quick
+    # mode (the 192x256 crop does not fit the quick raster).
+    if not args.quick:
         from sdfest_tpu.pipeline.pipeline import _roi_offset_for
 
         roi = (192, 256)
@@ -269,12 +273,14 @@ def main():
         def loss_fn_roi(p, q, s):
             est, pc_vals = render_depth_with_pc_values(
                 mug, p, q, s, points_roi, pmask_roi, camera=camera,
-                threshold=0.005, backend=backend, roi=roi, roi_offset=roi_off,
+                threshold=0.005, backend=backend, roi=roi,
+                roi_offset=roi_off,
             )
-            return L.depth_l1_loss(target_roi, est) + 3.0 * L.masked_mean_abs(
-                pc_vals, pmask_roi
-            )
+            return L.depth_l1_loss(
+                target_roi, est
+            ) + 3.0 * L.masked_mean_abs(pc_vals, pmask_roi)
 
+    def _roi_stage():
         refine_roi = make_refine(loss_fn_roi, args.refine_iters)
 
         st_roi, ls_roi = refine_roi(s0)
@@ -302,7 +308,9 @@ def main():
     # of the iteration budget against the strided quarter-raster — the
     # SAME optimization problem on a pixel subset (Camera.strided), with
     # ~1/4 the active march tiles — then the rest at full resolution)
-    def _multires_stage():
+    n_coarse = (args.refine_iters * 3) // 5
+    n_fine = args.refine_iters - n_coarse
+    if not args.quick:
         cam2 = camera.strided(2)
         target2 = target[::2, ::2]
         points2, pmask2 = pointset.depth_to_pointcloud_dense(
@@ -318,35 +326,52 @@ def main():
                 pc_vals, pmask2
             )
 
-        n_coarse = (args.refine_iters * 3) // 5
-        n_fine = args.refine_iters - n_coarse
+    def _timed_schedule(name, coarse_fn, fine_fn):
+        """Time a two-phase schedule with the standard sweep discipline."""
 
-        refine_coarse = make_refine(loss_fn2, n_coarse)
-        refine_fine = make_refine(loss_fn, n_fine)
+        def run(state):
+            st, _ = coarse_fn(state)
+            return fine_fn(st)
 
-        def refine_mr(state):
-            st, _ = refine_coarse(state)
-            return refine_fine(st)
-
-        st_mr, ls_mr = refine_mr(s0)
-        block(ls_mr)
-        block(refine_mr(dict(s0, p=s0["p"] * 0.9999))[1])
+        st_s, ls_s = run(s0)
+        block(ls_s)
+        block(run(dict(s0, p=s0["p"] * 0.9999))[1])
         t0 = time.perf_counter()
         for i in range(max(args.reps, 1)):
-            st_mr, ls_mr = refine_mr(
-                dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1)))
-            )
-        block(ls_mr)
-        t_mr = (time.perf_counter() - t0) / max(args.reps, 1)
-        pos_err_mr = float(jnp.linalg.norm(st_mr["p"] - true_p)) * 1000
-        # the schedule must converge like the single-phase program
-        assert pos_err_mr < 3 * max(pos_err_last, 2.0), (
-            f"multires refinement diverged: {pos_err_mr} mm vs {pos_err_last}"
+            st_s, ls_s = run(dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1))))
+        block(ls_s)
+        t_s = (time.perf_counter() - t0) / max(args.reps, 1)
+        pos_err_s = float(jnp.linalg.norm(st_s["p"] - true_p)) * 1000
+        # every schedule must converge like the single-phase program
+        assert pos_err_s < 3 * max(pos_err_last, 2.0), (
+            f"{name} refinement diverged: {pos_err_s} mm vs {pos_err_last}"
         )
-        return args.refine_iters / t_mr, t_refine / t_mr
+        return args.refine_iters / t_s, t_refine / t_s
+
+    def _multires_stage():
+        return _timed_schedule(
+            "multires",
+            make_refine(loss_fn2, n_coarse),
+            make_refine(loss_fn, n_fine),
+        )
 
     multires_iters_per_sec, multires_speedup = (
         run_stage("multires_refine", _multires_stage, (0.0, 0.0))
+        if not args.quick
+        else (0.0, 0.0)
+    )
+
+    # production fast path (configs/estimation/fast.yaml): multires coarse
+    # phase + ROI fine phase — the schedule a deployment runs
+    def _production_stage():
+        return _timed_schedule(
+            "production",
+            make_refine(loss_fn2, n_coarse),
+            make_refine(loss_fn_roi, n_fine),
+        )
+
+    production_iters_per_sec, production_speedup = (
+        run_stage("production_refine", _production_stage, (0.0, 0.0))
         if not args.quick
         else (0.0, 0.0)
     )
@@ -403,6 +428,10 @@ def main():
             "roi_refine_iters_per_sec": round(roi_iters_per_sec, 2),
             "multires_refine_iters_per_sec": round(multires_iters_per_sec, 2),
             "multires_speedup_vs_full": round(multires_speedup, 2),
+            "production_refine_iters_per_sec": round(
+                production_iters_per_sec, 2
+            ),
+            "production_speedup_vs_full": round(production_speedup, 2),
             "batched_hyp_iters_per_sec": round(hyp_iters_per_sec, 2),
             "batched_hypotheses": n_hyp,
             "mosaic_parity": {
