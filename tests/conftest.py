@@ -87,6 +87,8 @@ _SLOW_TESTS = {
     "test_multires_converges_like_single_phase",
     "test_sharded_refinement_with_multires_schedule",
     "test_strided_camera_rays_and_render_match_strided_full",
+    "test_early_stop_freezes_after_plateau",
+    "test_early_stop_composes_with_multires",
 }
 
 

@@ -244,3 +244,23 @@ def test_early_stop_freezes_after_plateau(tmp_path):
         log["position"][last_active], log["position"][-1]
     )
     np.testing.assert_array_equal(log["loss"][last_active], log["loss"][-1])
+
+
+def test_early_stop_composes_with_multires(tmp_path):
+    """Each multires phase runs its own early-stop checkpoint chain."""
+    import pickle
+
+    config = _config(
+        max_iterations=6, multires_factor=2, multires_iterations=3,
+        early_stop_delta=1.0, early_stop_interval=1,
+    )
+    pipeline = SDFPipeline(config)
+    depth, mask = _scene(pipeline)
+    log_path = str(tmp_path / "log.pkl")
+    position, _, _, _ = pipeline(depth, mask, log_path=log_path)
+    assert bool(jnp.all(jnp.isfinite(position)))
+    with open(log_path, "rb") as f:
+        log = pickle.load(f)["log"]
+    assert log["active"].shape[0] == 6
+    # delta=1.0 / interval=1 freezes both phases almost immediately
+    assert log["active"].sum() < 6
