@@ -238,3 +238,29 @@ def test_compiled_sample_grad_under_vmap():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(g_b[i]), np.asarray(g1),
                                    atol=1e-6)
+
+
+def test_compiled_roi_render_equals_full_crop():
+    """Compiled-Mosaic ROI render == the same crop of a full render.
+
+    The interpret-mode pin lives in tests/test_pallas.py
+    (test_roi_render_equals_full_crop); this guards the compiled path
+    against the batched-Mosaic class of divergence (the ROI path slices
+    the camera-constant direction planes with traced offsets).
+    """
+    roi = (16, 32)
+    off = jnp.asarray([16, 16], jnp.int32)
+    full = jax.jit(
+        lambda: render_depth_pallas_fwd(
+            SDF, POS, QUAT, INV_S, CAM, threshold=0.005, interpret=False
+        )
+    )()
+    crop = jax.jit(
+        lambda o: render_depth_pallas_fwd(
+            SDF, POS, QUAT, INV_S, CAM, threshold=0.005, interpret=False,
+            roi=roi, roi_offset=o,
+        )
+    )(off)
+    np.testing.assert_allclose(
+        np.asarray(full)[16:32, 16:48], np.asarray(crop), atol=1e-6
+    )
