@@ -234,18 +234,22 @@ def main():
     pos_err_first = float(jnp.linalg.norm(s0["p"] - true_p)) * 1000
     pos_err_last = float(jnp.linalg.norm(st["p"] - true_p)) * 1000
 
+    failed_stages = []
+
     def run_stage(name, fn, default):
-        """Optional stages fail soft on transient backend errors (a late
-        tunnel hiccup must not zero the headline).  Only runtime/IO error
-        classes are absorbed — programming errors (NameError, TypeError,
-        shape mismatches) and the parity/convergence AssertionError gates
-        propagate and fail the benchmark loudly."""
+        """Optional stages fail soft (a late tunnel hiccup or a diverged
+        fast-path schedule must not hide the headline), but every failure
+        is recorded in the JSON's ``failed_stages`` so it cannot rot
+        silently.  Programming errors (NameError, TypeError, shape
+        mismatches) still propagate; the Mosaic parity gate above runs
+        outside any stage and stays fatal."""
         try:
             return fn()
-        except (RuntimeError, OSError, TimeoutError) as e:
+        except (RuntimeError, OSError, TimeoutError, AssertionError) as e:
             print(f"bench stage {name} failed soft "
                   f"({type(e).__name__}: {e}); reporting {default}",
                   file=sys.stderr)
+            failed_stages.append(f"{name}: {type(e).__name__}: {e}")
             return default
 
     # ROI refinement (the production fast path): identical losses computed
@@ -441,6 +445,7 @@ def main():
             },
             "loss_first_last": [round(float(ls[0]), 4),
                                 round(float(ls[-1]), 4)],
+            "failed_stages": failed_stages,
             "device": str(jax.devices()[0]),
         },
     }
