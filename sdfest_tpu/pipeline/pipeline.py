@@ -573,9 +573,13 @@ class SDFPipeline:
                 )
                 log_out = dict(log, active=1.0 - done.astype(jnp.float32))
                 is_check = (iteration + 1) % early_interval == 0
-                improved = (ref_loss - log["loss"]) >= early_delta * jnp.abs(
-                    ref_loss
-                )
+                # absolute floor so a zero-loss plateau (perfect fit, or an
+                # empty overlap) still counts as converged: with ref == 0
+                # the relative test `ref - loss >= delta * |ref|` would
+                # read 0 >= 0 as "improved" forever
+                improved = (
+                    ref_loss - log["loss"]
+                ) >= early_delta * jnp.maximum(jnp.abs(ref_loss), 1e-8)
                 done = jnp.logical_or(
                     done, jnp.logical_and(is_check, ~improved)
                 )
