@@ -89,6 +89,7 @@ _SLOW_TESTS = {
     "test_strided_camera_rays_and_render_match_strided_full",
     "test_early_stop_freezes_after_plateau",
     "test_early_stop_composes_with_multires",
+    "test_multires_multi_view",
 }
 
 

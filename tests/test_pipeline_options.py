@@ -264,3 +264,22 @@ def test_early_stop_composes_with_multires(tmp_path):
     assert log["active"].shape[0] == 6
     # delta=1.0 / interval=1 freezes both phases almost immediately
     assert log["active"].sum() < 6
+
+
+def test_multires_multi_view():
+    """Coarse-to-fine strides every view of a multi-view problem."""
+    pipeline = SDFPipeline(_config(
+        max_iterations=4, multires_factor=2, multires_iterations=2
+    ))
+    depth, mask = _scene(pipeline)
+    depths = jnp.stack([depth, depth])
+    masks = jnp.stack([mask, mask])
+    position, orientation, scale, latent = pipeline(
+        depths, masks,
+        camera_positions=jnp.zeros((2, 3)),
+        camera_orientations=jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                                     (2, 1)),
+    )
+    assert bool(jnp.all(jnp.isfinite(position)))
+    np.testing.assert_allclose(float(jnp.linalg.norm(orientation)), 1.0,
+                               atol=1e-5)
