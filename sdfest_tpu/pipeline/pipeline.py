@@ -125,7 +125,7 @@ class SDFPipeline:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode(self, latent: jax.Array) -> jax.Array:
-        return self.vae.apply({"params": self.vae_params}, latent, method=self.vae.decode)
+        return self._decode_inline(latent)
 
     def render(
         self,
@@ -161,20 +161,18 @@ class SDFPipeline:
             depth = jnp.where(depth > self._far_field, 0.0, depth)
         return depth
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
+    @functools.partial(jax.jit, static_argnums=(0,))
     def _nn_init_single(
         self,
         depth_image: jax.Array,
-        camera_position: jax.Array,
-        camera_orientation: jax.Array,
         key: jax.Array,
-        train: bool = False,
     ):
         """Single-view initialization network forward pass (jitted).
 
-        Returns (latent, position_cam, scale, orientation_raw, any_valid).
-        ``orientation_raw`` is the representation-specific output (normalized
-        quaternion or logits).
+        Returns (latent, position_cam, scale, orientation_raw, any_valid)
+        in the CAMERA frame (the world transform happens in
+        :meth:`_nn_init`).  ``orientation_raw`` is the
+        representation-specific output (normalized quaternion or logits).
         """
         points, valid = pointset.depth_to_pointcloud_dense(depth_image, self.camera)
         centroid = jnp.zeros(3, dtype=points.dtype)
@@ -216,10 +214,7 @@ class SDFPipeline:
         for i in range(n_views):
             key, subkey = jax.random.split(key)
             latent, position, scale, orientation, any_valid = self._nn_init_single(
-                depth_images[i],
-                camera_positions[i],
-                camera_orientations[i],
-                subkey,
+                depth_images[i], subkey
             )
             if not bool(any_valid):
                 raise NoDepthError
@@ -352,6 +347,10 @@ class SDFPipeline:
         )
         use_warm = self._use_temporal_coherence()
         refresh_k = int(self.config.get("temporal_refresh_interval", 8))
+        if use_warm and refresh_k < 1:
+            raise ValueError(
+                f"temporal_refresh_interval must be >= 1, got {refresh_k}"
+            )
         n_views = depth_images.shape[0]
         cam = self.camera if ds_factor == 1 else self.camera.strided(ds_factor)
         # zero-sized warm state when disabled (nothing rides the scan carry)
@@ -480,15 +479,20 @@ class SDFPipeline:
                 loss = loss + weight * losses.point_constraint_loss(
                     state["orientation"][0], source, target
                 )
-            new_warm = {
-                "views": new_view_warms,
-                "shared": jax.lax.stop_gradient({
-                    "position": state["position"][0],
-                    "orientation": norm_orientation[0],
-                    "scale": state["scale"][0],
-                    "sdf": sdf,
-                }),
-            }
+            if use_warm:
+                new_warm = {
+                    "views": new_view_warms,
+                    "shared": jax.lax.stop_gradient({
+                        "position": state["position"][0],
+                        "orientation": norm_orientation[0],
+                        "scale": state["scale"][0],
+                        "sdf": sdf,
+                    }),
+                }
+            else:
+                # warm state is dead when disabled: pass it through instead
+                # of copying the decoded sdf into the carry every iteration
+                new_warm = warm
             aux = {
                 "loss_depth": loss_depth,
                 "loss_pc": loss_pc,
@@ -651,23 +655,24 @@ class SDFPipeline:
             return None
         h, w = self.camera.height, self.camera.width
         margin = int(self.config.get("roi_margin", 48))
+        # ceil to the march tile: a non-16-multiple ROI would silently
+        # knock render_depth off the fused pallas path (full-frame render
+        # + crop every iteration — slower than no ROI at all)
+        align = lambda x: max(16, -(-int(x) // 16) * 16)
         if roi_cfg == "auto":
-            # fixed menu of quarter/half-frame crops (16-aligned), smallest
-            # fitting one wins — candidates are static, so the compiled
-            # program count stays bounded by the menu size
-            align = lambda x: max(16, -(-int(x) // 16) * 16)  # ceil to 16
+            # fixed menu of quarter/half-frame crops, smallest fitting one
+            # wins — candidates are static, so the compiled program count
+            # stays bounded by the menu size
             candidates = [
                 (align(h / 4), align(w / 4)),
                 (align(h / 2), align(w / 2)),
             ]
         else:
-            candidates = [(int(roi_cfg[0]), int(roi_cfg[1]))]
-        import numpy as np_
-
-        d = np_.asarray(depth_images > 0)
+            candidates = [(align(roi_cfg[0]), align(roi_cfg[1]))]
+        d = np.asarray(depth_images > 0)
         spans = []
         for v in range(d.shape[0]):
-            ys, xs = np_.nonzero(d[v])
+            ys, xs = np.nonzero(d[v])
             if ys.size == 0:
                 continue
             spans.append((ys.max() - ys.min() + 1, xs.max() - xs.min() + 1))
@@ -870,12 +875,19 @@ class SDFPipeline:
 
         # lift all views to dense point clouds once (pc loss inputs).  Tile
         # order keeps the Pallas pc-loss sampler on its windowed fast path;
-        # the loss is an order-invariant mean.
-        points, point_masks = jax.vmap(
-            lambda d: pointset.depth_to_pointcloud_dense(
-                d, self.camera, order="tile"
-            )
-        )(depth_images)
+        # the loss is an order-invariant mean.  With an active ROI the
+        # refinement re-lifts from the crops and ignores these, so skip the
+        # full-raster lift (placeholders keep the _refine signature).
+        roi = self._roi_for(depth_images)
+        if roi is None:
+            points, point_masks = jax.vmap(
+                lambda d: pointset.depth_to_pointcloud_dense(
+                    d, self.camera, order="tile"
+                )
+            )(depth_images)
+        else:
+            points = jnp.zeros((n_views, 1, 3), jnp.float32)
+            point_masks = jnp.zeros((n_views, 1), jnp.float32)
 
         state = {
             "position": position,
@@ -920,7 +932,7 @@ class SDFPipeline:
             camera_orientations,
             shape_optimization,
             point_constraint,
-            self._roi_for(depth_images),
+            roi,
             1,
             fine_iters,
         )
@@ -951,9 +963,6 @@ class SDFPipeline:
                     pipeline=self,
                 )
 
-        if visualize:
-            self._visualize_optimization(state, depth_images, log)
-
         if self.result_selection_strategy == "last_iteration":
             chosen = state
         elif self.result_selection_strategy == "best_inlier_ratio":
@@ -963,6 +972,11 @@ class SDFPipeline:
                 f"Result selection strategy {self.result_selection_strategy} "
                 "is not supported."
             )
+
+        if visualize:
+            # visualize the estimate the caller actually receives (under
+            # best_inlier_ratio that may differ from the final state)
+            self._visualize_optimization(chosen, depth_images, log)
         return (
             chosen["position"],
             chosen["orientation"],
