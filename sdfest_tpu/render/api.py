@@ -24,12 +24,21 @@ from sdfest_tpu.ops.interpolation import sample_sdf
 from sdfest_tpu.render import xla as xla_backend
 
 
-@functools.lru_cache(maxsize=1)
+_DEFAULT_BACKEND: list = []
+
+
 def _default_backend() -> str:
+    # memoized on success only: a transient accelerator-init failure (the
+    # tunneled TPU backend is documented to wedge temporarily) must not pin
+    # "xla" for the process lifetime
+    if _DEFAULT_BACKEND:
+        return _DEFAULT_BACKEND[0]
     try:
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     except Exception:
         return "xla"
+    _DEFAULT_BACKEND.append(backend)
+    return backend
 
 
 def resolve_backend(backend: str = "auto") -> str:
@@ -51,7 +60,9 @@ def _sample_op_pallas(sdf, points, mask):
     from sdfest_tpu.render.pallas_kernel import sample_sdf_pallas
 
     m = mask.astype(jnp.float32)
-    return (sample_sdf_pallas(sdf, points) * m).astype(points.dtype)
+    # the kernel applies the mask itself (value * m) AND skips fully-masked
+    # tiles, so pass it through instead of multiplying afterwards
+    return sample_sdf_pallas(sdf, points, m).astype(points.dtype)
 
 
 def _sample_op_fwd(sdf, points, mask):
@@ -72,7 +83,10 @@ def _sample_op_bwd(residuals, cot):
     sdf_dtype = sdf_dtype_sentinel.dtype
     cot_masked = cot.astype(jnp.float32) * m
     grad_sdf = scatter_sdf_grad_pallas(points, cot_masked, res=res)
-    grad_points = grad * cot_masked[:, None]
+    # the kernel's grad already carries one factor of m; multiplying by
+    # cot_masked would square it (wrong for non-binary masks — the xla
+    # backend scales point gradients by a single m)
+    grad_points = grad * cot.astype(jnp.float32)[:, None]
     # cotangents must match the primal dtypes (callers may run float64)
     return (
         grad_sdf.astype(sdf_dtype),
@@ -113,6 +127,43 @@ def sample_sdf_masked_extrapolating(
 # ---------------------------------------------------------------------------
 # depth rendering with backend dispatch
 # ---------------------------------------------------------------------------
+
+
+def _normalize_roi(roi, roi_offset):
+    """Static-int roi tuple + int32 offset array (zeros when unset)."""
+    if roi is not None:
+        roi = (int(roi[0]), int(roi[1]))
+    offset = (
+        jnp.zeros((2,), jnp.int32)
+        if roi_offset is None
+        else jnp.asarray(roi_offset, jnp.int32)
+    )
+    return roi, offset
+
+
+def _pallas_capable(sdf, camera) -> bool:
+    """Whether the Mosaic kernels support this grid + raster."""
+    from sdfest_tpu.render.pallas_kernel import RES, TILE
+
+    return (
+        sdf.shape[-1] == RES
+        and camera.height % TILE == 0
+        and camera.width % TILE == 0
+    )
+
+
+def _kernel_roi(roi):
+    """The ROI the kernel can render directly (TILE-aligned), else None.
+
+    An unaligned ROI does NOT demote the render off the pallas backend —
+    the caller renders the full frame with the kernel and crops (correct
+    by the pixel-independence of rays; only the crop's raster savings are
+    lost, not the ~2500x kernel-vs-XLA march speedup)."""
+    from sdfest_tpu.render.pallas_kernel import TILE
+
+    if roi is not None and roi[0] % TILE == 0 and roi[1] % TILE == 0:
+        return roi
+    return None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -169,8 +220,16 @@ def _surrogate_with_op(sdf, position, orientation, inv_scale, depth, dirs):
 
 
 def _roi_dirs(camera, dtype, roi, roi_offset):
-    """Per-pixel ray directions, optionally a dynamic ROI slice."""
-    dirs = xla_backend.pixel_directions(camera, dtype)
+    """Per-pixel ray directions, optionally a dynamic ROI slice.
+
+    Built from the host-side camera constant (:func:`_camera_ray_planes`),
+    not traced jnp ops — recomputing the full-raster direction field every
+    backward was the exact camera-constant cost the planes were added to
+    eliminate (~0.7 ms/render at 640x480; 1 ulp vs the traced math).
+    """
+    from sdfest_tpu.render.pallas_kernel import _camera_ray_planes
+
+    dirs = jnp.asarray(_camera_ray_planes(camera)[0], dtype)
     if roi is None:
         return dirs
     zero = jnp.zeros((), roi_offset.dtype)
@@ -290,15 +349,17 @@ def _render_pc_bwd(static, residuals, cotangents):
     grad_depth_t = _tile_image(grad_depth[..., None], h, w).reshape(-1)
     sur_mask = depth_t > 0
 
-    def f(s, p, q, i):
+    def f(s, p, q, i, pts_in):
         # surrogate depth (identical math to _surrogate_with_op, tile order)
         t = -depth_t / dz_t
         x = t[:, None] * dirs_t
         o = quaternion.apply(quaternion.invert(q), x - p)
         o = o / jnp.sum(q * q)
         sur = o * i
-        # pc values (identical math to pc_loss)
-        obj, pc_mask = _pc_object_points(p, q, i, points, point_mask, res)
+        # pc values (identical math to pc_loss; pts_in is differentiated so
+        # callers optimizing over the observed cloud get real gradients,
+        # matching the separate render_depth + pc_loss path)
+        obj, pc_mask = _pc_object_points(p, q, i, pts_in, point_mask, res)
         pts_all = jnp.concatenate([sur, obj], axis=0)
         mask_all = jnp.concatenate([sur_mask, pc_mask], axis=0)
         vals = _sample_op_pallas(
@@ -308,9 +369,9 @@ def _render_pc_bwd(static, residuals, cotangents):
         sur_val = vals[:n_sur] / i * jnp.abs(dz_t)
         return sur_val, vals[n_sur:]
 
-    _, vjp = jax.vjp(f, sdf, position, orientation, inv_scale)
-    gs, gp, gq, gi = vjp((grad_depth_t, grad_vals))
-    return (gs, gp, gq, gi, jnp.zeros_like(points),
+    _, vjp = jax.vjp(f, sdf, position, orientation, inv_scale, points)
+    gs, gp, gq, gi, gpts = vjp((grad_depth_t, grad_vals))
+    return (gs, gp, gq, gi, gpts,
             jnp.zeros_like(point_mask), jnp.zeros_like(roi_offset))
 
 
@@ -352,26 +413,15 @@ def render_depth_with_pc_values(
     sample the observed points, not the raster).
     """
     from sdfest_tpu.pipeline import losses
-    from sdfest_tpu.render.pallas_kernel import RES, TILE
 
     backend = resolve_backend(backend)
     inv_scale = 1.0 / scale
-    if roi is not None:
-        roi = (int(roi[0]), int(roi[1]))
-        roi_offset = (
-            jnp.zeros((2,), jnp.int32) if roi_offset is None
-            else jnp.asarray(roi_offset, jnp.int32)
-        )
-    if (
-        backend == "pallas"
-        and sdf.shape[-1] == RES
-        and camera.height % TILE == 0
-        and camera.width % TILE == 0
-        and (roi is None or (roi[0] % TILE == 0 and roi[1] % TILE == 0))
-    ):
+    roi, roi_offset = _normalize_roi(roi, roi_offset)
+    if backend == "pallas" and _pallas_capable(sdf, camera):
+        kroi = _kernel_roi(roi)
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
-            bool(culling), bool(bf16), bool(adaptive), roi,
+            bool(culling), bool(bf16), bool(adaptive), kroi,
         )
         depth, values = _render_pc_pallas(
             static,
@@ -381,8 +431,13 @@ def render_depth_with_pc_values(
             inv_scale,
             jnp.asarray(points),
             jnp.asarray(point_mask),
-            jnp.zeros((2,), jnp.int32) if roi_offset is None else roi_offset,
+            roi_offset,
         )
+        if roi is not None and kroi is None:
+            # unaligned ROI: the kernel rendered the full frame; crop here
+            depth = jax.lax.dynamic_slice(
+                depth, (roi_offset[0], roi_offset[1]), roi
+            )
         return depth, values * scale
     depth = render_depth(
         sdf, position, orientation, inv_scale, camera=camera,
@@ -430,7 +485,7 @@ def _render_pallas_warm_bwd(static, residuals, cotangents):
     camera = static[0]
     sdf, position, orientation, inv_scale, depth, t_init, skip = residuals
     grad_depth, _ = cotangents  # corridor aux is non-differentiable
-    dirs = xla_backend.pixel_directions(camera, sdf.dtype)
+    dirs = _roi_dirs(camera, sdf.dtype, None, None)
     _, vjp = jax.vjp(
         lambda s, p, q, i: _surrogate_with_op(s, p, q, i, depth, dirs),
         sdf,
@@ -520,32 +575,29 @@ def render_depth(
         camera = Camera.from_fov(width, height, fov_deg)
     elif None not in (width, height, fov_deg):
         raise ValueError("Either camera or width+height+fov_deg must be given.")
-    from sdfest_tpu.render.pallas_kernel import RES, TILE
-
-    if roi is not None:
-        roi = (int(roi[0]), int(roi[1]))
-        roi_offset = (
-            jnp.zeros((2,), jnp.int32) if roi_offset is None
-            else jnp.asarray(roi_offset, jnp.int32)
-        )
-    if backend == "pallas" and (
-        sdf.shape[-1] != RES or camera.height % TILE or camera.width % TILE
-        or (roi is not None and (roi[0] % TILE or roi[1] % TILE))
-    ):
+    roi, roi_offset = _normalize_roi(roi, roi_offset)
+    if backend == "pallas" and not _pallas_capable(sdf, camera):
         backend = "xla"  # kernel constraints unmet; use the generic path
     if backend == "pallas":
+        kroi = _kernel_roi(roi)
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
-            bool(culling), bool(bf16), bool(adaptive), roi,
+            bool(culling), bool(bf16), bool(adaptive), kroi,
         )
-        return _render_pallas(
+        depth = _render_pallas(
             static,
             jnp.asarray(sdf),
             jnp.asarray(position),
             jnp.asarray(orientation),
             jnp.asarray(inv_scale),
-            jnp.zeros((2,), jnp.int32) if roi_offset is None else roi_offset,
+            roi_offset,
         )
+        if roi is not None and kroi is None:
+            # unaligned ROI: the kernel rendered the full frame; crop here
+            depth = jax.lax.dynamic_slice(
+                depth, (roi_offset[0], roi_offset[1]), roi
+            )
+        return depth
     depth = xla_backend.render_depth(
         sdf,
         position,
