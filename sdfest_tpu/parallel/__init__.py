@@ -6,4 +6,5 @@ from sdfest_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     replicated_sharding,
     shard_batch,
+    shard_map_data_parallel_step,
 )

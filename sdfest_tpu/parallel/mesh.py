@@ -88,3 +88,50 @@ def data_parallel_step(
         return compiled[n](*args)
 
     return wrapped
+
+
+def shard_map_data_parallel_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    batch_argnums: Sequence[int] = (1,),
+    axis_name: str = "dp",
+    donate_argnums: Sequence[int] = (0,),
+) -> Callable:
+    """Wrap an ``axis_name``-aware step for per-device local-batch execution.
+
+    Unlike :func:`data_parallel_step` (a GSPMD jit over the GLOBAL batch),
+    each device here traces ``step_fn`` with its LOCAL batch shard via
+    ``jax.shard_map``.  This matters for the pallas compute paths: the
+    batched-Mosaic miscompile workaround lowers ``vmap`` of every kernel to
+    a sequential ``lax.map`` (see ``_sequential_vmap``), and under GSPMD
+    that map runs over the global batch on EVERY device — erasing the DP
+    speedup of the render / pc-sampling stages.  Under shard_map each
+    device runs ``B / n_devices`` sequential kernel chains.
+
+    ``step_fn(state, batch, ..., axis_name=...)`` must accept the
+    ``axis_name`` keyword and reduce its gradients/metrics over it with
+    ``psum``/``pmean`` as appropriate for its loss reduction (both trainers
+    do); the optimizer update then computes identically on every device, so
+    the replicated outputs are exact.
+    """
+    import functools
+
+    compiled = {}
+
+    def wrapped(*args):
+        n = len(args)
+        if n not in compiled:
+            specs = tuple(
+                P(axis_name) if i in batch_argnums else P() for i in range(n)
+            )
+            fn = jax.shard_map(
+                functools.partial(step_fn, axis_name=axis_name),
+                mesh=mesh,
+                in_specs=specs,
+                out_specs=P(),
+                check_vma=False,
+            )
+            compiled[n] = jax.jit(fn, donate_argnums=donate_argnums)
+        return compiled[n](*args)
+
+    return wrapped

@@ -49,10 +49,15 @@ def train(config: dict) -> dict:
 
     n_devices = jax.local_device_count()
     if n_devices > 1 and batch_size % n_devices == 0:
-        from sdfest_tpu.parallel import data_parallel_step, make_mesh
+        from sdfest_tpu.parallel import (
+            make_mesh, shard_map_data_parallel_step,
+        )
 
         mesh = make_mesh()
-        step_fn = data_parallel_step(
+        # shard_map (not GSPMD jit): each device traces with its LOCAL
+        # batch shard, so the sequentially-vmapped pallas render/sampling
+        # runs B/n chains per device instead of B (see mesh.py)
+        step_fn = shard_map_data_parallel_step(
             trainer.step, mesh, batch_argnums=(1,), donate_argnums=(0,)
         )
         print(f"Data-parallel training over {n_devices} devices.")

@@ -10,7 +10,7 @@ discretized representation.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,12 +94,23 @@ class InitTrainer:
         return loss, (metrics, updates)
 
     def step(
-        self, state: Dict[str, Any], batch: Dict[str, jax.Array]
+        self, state: Dict[str, Any], batch: Dict[str, jax.Array],
+        axis_name: Optional[str] = None,
     ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
-        """One optimizer step (pure; wrap with jit or data_parallel_step)."""
+        """One optimizer step (pure; wrap with jit or a DP wrapper).
+
+        With ``axis_name`` (inside :func:`shard_map_data_parallel_step`)
+        gradients, metrics and batch-norm statistics are pmean'd over the
+        mesh axis — exactly the global-batch means, since every loss term
+        is a batch mean and shards are equal-sized.
+        """
         grads, (metrics, updates) = jax.grad(self._loss, has_aux=True)(
             state["params"], state["batch_stats"], batch
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            updates = jax.lax.pmean(updates, axis_name)
         opt_updates, opt_state = self.optimizer.update(
             grads, state["opt_state"], state["params"]
         )

@@ -21,7 +21,7 @@ Data parallelism: wrap :meth:`VAETrainer.train_step` with
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -175,12 +175,25 @@ class VAETrainer:
         return jnp.sum(jax.vmap(per_sample)(x[:, 0], recon[:, 0], keys))
 
     def step(
-        self, state: Dict[str, Any], batch_sdf: jax.Array, key: jax.Array
+        self, state: Dict[str, Any], batch_sdf: jax.Array, key: jax.Array,
+        axis_name: Optional[str] = None,
     ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
-        """One optimizer step (pure; wrap with jit or data_parallel_step)."""
+        """One optimizer step (pure; wrap with jit or a DP wrapper).
+
+        With ``axis_name`` (inside :func:`shard_map_data_parallel_step`)
+        gradients and metrics are psum'd over the mesh axis — exactly the
+        global-batch SUMS, since every loss term reduces the batch by sum
+        (reference parity) — and the key is folded per shard so shards
+        draw distinct render poses / reparameterization noise.
+        """
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         (_, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
             state["params"], batch_sdf, key, state["iteration"]
         )
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            metrics = jax.lax.psum(metrics, axis_name)
         updates, opt_state = self.optimizer.update(
             grads, state["opt_state"], state["params"]
         )

@@ -262,3 +262,60 @@ def test_data_parallel_step_matches_single_device():
         bool(jnp.all(jnp.isfinite(leaf)))
         for leaf in jax.tree_util.tree_leaves(dp_state["params"])
     )
+
+
+def test_shard_map_dp_step_matches_single_device():
+    """The shard_map DP wrapper (local-batch tracing; the production DP
+    path for the sequentially-vmapped pallas stages) matches the
+    single-device step."""
+    from sdfest_tpu.parallel import make_mesh, shard_map_data_parallel_step
+
+    assert len(jax.devices()) >= 8
+    config = tiny_init_config()
+    config["backbone"]["batchnorm"] = False
+    config["head"]["batchnorm"] = False
+    trainer = InitTrainer(config, latent_size=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), num_points=64)
+    dataset, _, _ = _dataset()
+    batch = dataset.sample_batch(jax.random.PRNGKey(0), 8)
+    batch = {
+        k: batch[k]
+        for k in ("pointset", "latent_shape", "position", "scale", "orientation")
+    }
+    single_state, single_metrics = jax.jit(trainer.step)(state, batch)
+    mesh = make_mesh(8)
+    dp_step = shard_map_data_parallel_step(
+        trainer.step, mesh, batch_argnums=(1,), donate_argnums=()
+    )
+    dp_state, dp_metrics = dp_step(state, batch)
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(single_metrics["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(single_state["params"]),
+        jax.tree_util.tree_leaves(dp_state["params"]),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.maximum(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5)
+
+
+def test_shard_map_dp_vae_step_runs():
+    """VAE trainer under the shard_map DP wrapper: psum'd sum-losses,
+    per-shard key folding, finite update."""
+    from sdfest_tpu.parallel import make_mesh, shard_map_data_parallel_step
+
+    assert len(jax.devices()) >= 8
+    trainer = VAETrainer(tiny_vae_config())
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, 1, 16, 16, 16))
+    mesh = make_mesh(8)
+    dp_step = shard_map_data_parallel_step(
+        trainer.step, mesh, batch_argnums=(1,), donate_argnums=()
+    )
+    new_state, metrics = dp_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(
+        bool(jnp.all(jnp.isfinite(leaf)))
+        for leaf in jax.tree_util.tree_leaves(new_state["params"])
+    )
