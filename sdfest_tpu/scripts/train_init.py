@@ -58,6 +58,30 @@ class Trainer:
             "model_dir", os.path.join(os.getcwd(), "models", self._run_name)
         )
 
+        # propagate the trainer-level orientation representation into the
+        # head and every dataset config, as the reference does
+        # (/root/reference/sdfest/initialization/scripts/train.py:56-68)
+        orepr = self._init_config.get("orientation_repr")
+        if orepr is not None:
+            self._init_config.setdefault("head", {})["orientation_repr"] = orepr
+            grid_res = self._init_config.get("orientation_grid_resolution")
+            if grid_res is not None:
+                self._init_config["head"]["orientation_grid_resolution"] = grid_res
+        category = self._init_config.get("category_str")
+        if orepr is not None or category is not None:
+            for groups in ("datasets", "validation_datasets"):
+                for spec in self._init_config.get(groups, {}).values():
+                    cfg = spec.setdefault("config_dict", {})
+                    if orepr is not None:
+                        cfg["orientation_repr"] = orepr
+                        grid_res = self._init_config.get(
+                            "orientation_grid_resolution"
+                        )
+                        if grid_res is not None:
+                            cfg["orientation_grid_resolution"] = grid_res
+                    if category is not None:
+                        cfg["category_str"] = category
+
         self._vae = create_vae_from_config(self._vae_config)
         self._vae_params = weight_utils.load_vae_params(
             self._vae_config, self._vae, self._vae_config.get("sdf_size", 64)
@@ -72,7 +96,9 @@ class Trainer:
     # -- data --------------------------------------------------------------
 
     def _create_dataset(self, name: str, spec: dict):
-        dtype = spec["type"]
+        # accept fully-qualified reference-style paths
+        # (e.g. sdfest.initialization.datasets.nocs_dataset.NOCSDataset)
+        dtype = spec["type"].split(".")[-1]
         cfg = dict(spec.get("config_dict", {}))
         if dtype == "SDFVAEViewDataset":
             from sdfest_tpu.datasets.generated import SDFVAEViewDataset

@@ -9,6 +9,11 @@ sdfest/initialization/datasets/nocs_dataset.py:158):
   paths to other YAML files.  Included files are resolved depth-first and
   merged in order; keys of the including (parent) file override keys from
   the included (child) files, and later includes override earlier ones.
+- An include entry may also be a mapping whose string leaves are paths
+  (yoco's namespaced include, e.g. ``- vae: "./vae_models/mug.yaml"`` or
+  ``- datasets: {generated: {config_dict: "./gen.yaml"}}``): the file is
+  loaded into that nested position instead of the top level (reference
+  usage: sdfest/initialization/configs/discretized.yaml:1-10).
 - Paths are resolved against a list of search paths: the directory of the
   including file (or cwd), ``~/.sdfest_tpu/`` and the installed package
   directory, so packaged configs resolve by relative name.
@@ -91,10 +96,30 @@ def _resolve_includes(config: dict, current_dir: Optional[str]) -> dict:
     merged: dict = {}
     search = default_search_paths(current_dir)
     for inc in includes:
-        child = load_config_from_file(inc, search)
+        if isinstance(inc, str):
+            child = load_config_from_file(inc, search)
+        elif isinstance(inc, dict):
+            child = _load_namespaced_include(inc, search)
+        else:
+            raise ValueError(f"Unsupported config include entry: {inc!r}")
         merged = _deep_merge(merged, child)
     # parent's own keys take precedence over included files
     return _deep_merge(merged, config)
+
+
+def _load_namespaced_include(spec: dict, search_paths: Sequence[str]) -> dict:
+    """Load a namespaced include: string leaves are paths, loaded in place."""
+    out: dict = {}
+    for key, value in spec.items():
+        if isinstance(value, str):
+            out[key] = load_config_from_file(value, search_paths)
+        elif isinstance(value, dict):
+            out[key] = _load_namespaced_include(value, search_paths)
+        else:
+            raise ValueError(
+                f"Namespaced include leaves must be paths or dicts, got {value!r}"
+            )
+    return out
 
 
 def load_config(
