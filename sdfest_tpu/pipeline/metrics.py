@@ -43,45 +43,23 @@ def correct_thresh(
         if np.linalg.norm(position_gt - position_prediction) > position_threshold:
             return 0
     if degree_threshold is not None:
-        rad_threshold = np.deg2rad(degree_threshold)
-        if rotational_symmetry_axis is not None:
-            axis = np.zeros(3)
-            axis[rotational_symmetry_axis] = 1.0
-            p1 = orientation_gt.apply(axis)
-            p2 = orientation_prediction.apply(axis)
-            rad_error = np.arccos(np.clip(p1 @ p2, -1.0, 1.0))
-        else:
-            rad_error = (orientation_gt * orientation_prediction.inv()).magnitude()
-        if rad_error > rad_threshold:
+        deg_error = degree_error(
+            orientation_gt, orientation_prediction, rotational_symmetry_axis
+        )
+        if deg_error > degree_threshold:
             return 0
     if iou_3d_threshold is not None:
         if extent_gt is None or extent_prediction is None:
             raise ValueError("3D IoU requires extent_gt and extent_prediction.")
-        if rotational_symmetry_axis is not None:
-            iou = max(
-                box_iou_3d(
-                    extent_gt,
-                    position_gt,
-                    orientation_gt
-                    * Rotation.from_rotvec(
-                        angle
-                        * np.eye(3)[rotational_symmetry_axis]
-                    ),
-                    extent_prediction,
-                    position_prediction,
-                    orientation_prediction,
-                )
-                for angle in np.linspace(0.0, 2 * np.pi, 60, endpoint=False)
-            )
-        else:
-            iou = box_iou_3d(
-                extent_gt,
-                position_gt,
-                orientation_gt,
-                extent_prediction,
-                position_prediction,
-                orientation_prediction,
-            )
+        iou = symmetric_box_iou(
+            extent_gt,
+            position_gt,
+            orientation_gt,
+            extent_prediction,
+            position_prediction,
+            orientation_prediction,
+            rotational_symmetry_axis,
+        )
         if iou < iou_3d_threshold:
             return 0
     if fscore_threshold is not None:
@@ -89,6 +67,66 @@ def correct_thresh(
         if fscore < fscore_threshold:
             return 0
     return 1
+
+
+def degree_error(
+    orientation_gt: Rotation,
+    orientation_prediction: Rotation,
+    rotational_symmetry_axis: Optional[int] = None,
+) -> float:
+    """Orientation error in degrees, optionally modulo a symmetry axis.
+
+    With ``rotational_symmetry_axis`` set, the error is the angle between
+    the two mapped symmetry axes (rotation about the axis is free) — the
+    NOCS convention for bottle / bowl / can.
+    """
+    if rotational_symmetry_axis is not None:
+        axis = np.zeros(3)
+        axis[rotational_symmetry_axis] = 1.0
+        p1 = orientation_gt.apply(axis)
+        p2 = orientation_prediction.apply(axis)
+        rad_error = np.arccos(np.clip(p1 @ p2, -1.0, 1.0))
+    else:
+        rad_error = (orientation_gt * orientation_prediction.inv()).magnitude()
+    return float(np.rad2deg(rad_error))
+
+
+def symmetric_box_iou(
+    extent_gt: np.ndarray,
+    position_gt: np.ndarray,
+    orientation_gt: Rotation,
+    extent_prediction: np.ndarray,
+    position_prediction: np.ndarray,
+    orientation_prediction: Rotation,
+    rotational_symmetry_axis: Optional[int] = None,
+) -> float:
+    """Oriented-box 3D IoU, maximized over ground-truth symmetry rotations.
+
+    For symmetric objects the IoU is maximized over 60 rotations of the
+    ground-truth box about its symmetry axis (NOCS convention); otherwise
+    this is exactly :func:`box_iou_3d`.
+    """
+    if rotational_symmetry_axis is None:
+        return box_iou_3d(
+            extent_gt,
+            position_gt,
+            orientation_gt,
+            extent_prediction,
+            position_prediction,
+            orientation_prediction,
+        )
+    return max(
+        box_iou_3d(
+            extent_gt,
+            position_gt,
+            orientation_gt
+            * Rotation.from_rotvec(angle * np.eye(3)[rotational_symmetry_axis]),
+            extent_prediction,
+            position_prediction,
+            orientation_prediction,
+        )
+        for angle in np.linspace(0.0, 2 * np.pi, 60, endpoint=False)
+    )
 
 
 def _box_corners(extents: np.ndarray, position: np.ndarray, rot: Rotation):

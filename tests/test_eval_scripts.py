@@ -262,3 +262,193 @@ def test_pipeline_inline_animation_export(tmp_path):
     assert os.path.isfile(out) or os.path.isfile(
         str(tmp_path / "inline_anim_frames.npz")
     )
+
+
+# ---------------------------------------------------------------------------
+# category evaluation (cpas_toolbox-equivalent driver)
+# ---------------------------------------------------------------------------
+
+
+class _FakeCategoryDataset:
+    """Duck-typed dataset for the category evaluator (list of samples)."""
+
+    def __init__(self, samples):
+        self._samples = samples
+
+    def __len__(self):
+        return len(self._samples)
+
+    def __getitem__(self, i):
+        return self._samples[i]
+
+    def load_mesh(self, path):
+        return _cube_mesh()
+
+
+class _FakePipeline:
+    """Pipeline stub returning a fixed pose/scale and a cube mesh."""
+
+    def __init__(self, position, quaternion, scale, fail=False):
+        self._out = (
+            np.asarray([position], np.float32),
+            np.asarray([quaternion], np.float32),
+            np.asarray([scale], np.float32),
+            np.zeros((1, 8), np.float32),
+        )
+        self._fail = fail
+
+    def __call__(self, depth, mask, **kwargs):
+        if self._fail:
+            from sdfest_tpu.pipeline.pipeline import NoDepthError
+
+            raise NoDepthError
+        return self._out
+
+    def generate_mesh(self, latent, scale, complete_mesh=False):
+        from sdfest_tpu.pipeline import synthetic
+
+        v, f = _cube_mesh()
+        return synthetic.Mesh(
+            vertices=v, faces=f,
+            scale=float(np.asarray(scale).reshape(-1)[0]), rel_scale=False,
+        )
+
+
+def _category_sample(category="mug", position=(0.0, 0.0, 0.3)):
+    return {
+        "depth": np.full((4, 4), 0.3, np.float32),
+        "mask": np.ones((4, 4), bool),
+        "position": np.asarray(position, np.float32),
+        "quaternion": np.asarray([0.0, 0.0, 0.0, 1.0], np.float32),
+        "scale": np.asarray([0.1, 0.1, 0.1], np.float32),  # full extents
+        "obj_path": "cube.obj",
+        "category_str": category,
+    }
+
+
+def _category_config(tmp_path):
+    return {
+        "dataset": "nocs",
+        "gt_mesh_metric": False,
+        "out_folder": str(tmp_path / "results"),
+        "run_name": "test",
+        "samples": 200,
+        "seed": 0,
+        "metrics": {
+            "chamfer": {
+                "f": "sdfest_tpu.pipeline.metrics.symmetric_chamfer",
+                "kwargs": {},
+            },
+        },
+    }
+
+
+def test_category_evaluation_perfect_prediction(tmp_path):
+    from sdfest_tpu.scripts.category_evaluation import CategoryEvaluator
+
+    dataset = _FakeCategoryDataset([_category_sample()])
+    # predicted scale 0.05 = half-max-extent -> extents 0.1 (matches GT)
+    pipelines = {
+        "mug": _FakePipeline([0.0, 0.0, 0.3], [0.0, 0.0, 0.0, 1.0], 0.05)
+    }
+    ev = CategoryEvaluator(_category_config(tmp_path), dataset, pipelines)
+    results = ev.run()
+    agg = results["mug"]
+    assert agg["count"] == 1 and agg["failed"] == 0
+    for name, frac in agg["correctness"].items():
+        assert frac == 1.0, name
+    assert agg["means"]["position_error"] < 1e-6
+    assert agg["means"]["degree_error"] < 1e-6
+    assert agg["means"]["iou_3d"] > 0.99
+    assert agg["means"]["chamfer"] < 0.02
+    assert results["all"]["count"] == 1
+    outs = os.listdir(tmp_path / "results")
+    assert any(o.startswith("category_eval_") for o in outs)
+
+
+def test_category_evaluation_threshold_grid(tmp_path):
+    """7 cm / 7 deg off: 5cm+5deg entries fail, 10cm+10deg entries pass."""
+    from scipy.spatial.transform import Rotation
+
+    from sdfest_tpu.scripts.category_evaluation import CategoryEvaluator
+
+    quat = Rotation.from_euler("z", 7, degrees=True).as_quat()
+    dataset = _FakeCategoryDataset([_category_sample()])
+    pipelines = {"mug": _FakePipeline([0.07, 0.0, 0.3], quat, 0.05)}
+    config = _category_config(tmp_path)
+    config["out_folder"] = None
+    ev = CategoryEvaluator(config, dataset, pipelines)
+    results = ev.run()
+    corr = results["mug"]["correctness"]
+    assert corr["deg_cm_5deg_5cm"] == 0.0
+    assert corr["deg_cm_10deg_5cm"] == 0.0
+    assert corr["deg_cm_5deg_10cm"] == 0.0
+    assert corr["deg_cm_10deg_10cm"] == 1.0
+    # 0.07 m offset on a 0.1 m box: IoU = 0.03/0.17 ~ 0.176 < 0.25
+    assert corr["deg_cm_iou25" if "deg_cm_iou25" in corr else "iou_3d_iou25"] == 0.0
+    assert results["mug"]["means"]["position_error"] == pytest.approx(0.07)
+    assert results["mug"]["means"]["degree_error"] == pytest.approx(7.0, abs=1e-4)
+
+
+def test_category_evaluation_symmetry_and_failures(tmp_path):
+    """Symmetric category ignores rotation about its axis; failures score 0."""
+    from scipy.spatial.transform import Rotation
+
+    from sdfest_tpu.scripts.category_evaluation import CategoryEvaluator
+
+    quat = Rotation.from_euler("y", 90, degrees=True).as_quat()
+    dataset = _FakeCategoryDataset(
+        [_category_sample("bowl"), _category_sample("bowl"),
+         _category_sample("camera")]
+    )
+    pipelines = {
+        "bowl": _FakePipeline([0.0, 0.0, 0.3], quat, 0.05),
+        # no "camera" pipeline -> sample skipped (reference behavior)
+    }
+    config = _category_config(tmp_path)
+    config["out_folder"] = None
+    ev = CategoryEvaluator(config, dataset, pipelines)
+    results = ev.run()
+    assert set(results) == {"bowl", "all"}
+    assert results["bowl"]["means"]["degree_error"] < 1e-4  # symmetry-free
+    assert results["bowl"]["correctness"]["deg_cm_5deg_5cm"] == 1.0
+
+    pipelines = {"bowl": _FakePipeline([0, 0, 0.3], quat, 0.05, fail=True)}
+    ev = CategoryEvaluator(config, dataset, pipelines)
+    results = ev.run()
+    assert results["bowl"]["failed"] == 2
+    assert all(v == 0.0 for v in results["bowl"]["correctness"].values())
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference fixture unavailable")
+def test_category_evaluation_real_pipeline(tmp_path):
+    """End-to-end with a real SDFPipeline on a synthetic cube observation."""
+    from sdfest_tpu.ops.camera import Camera
+    from sdfest_tpu.pipeline import synthetic
+    from sdfest_tpu.pipeline.pipeline import SDFPipeline
+    from sdfest_tpu.scripts.category_evaluation import CategoryEvaluator
+
+    config = _eval_config(tmp_path, tmp_path)
+    cam = Camera(**config["camera"])
+    v, f = _cube_mesh()
+    mesh = synthetic.Mesh(
+        vertices=v, faces=f, scale=0.05, rel_scale=False,
+        position=np.array([0.0, 0.0, 0.3]),
+        orientation=np.array([0.0, 0.0, 0.0, 1.0]),
+    )
+    depth = synthetic.draw_depth_geometry(mesh, cam)
+    assert (depth > 0).any()
+    sample = _category_sample()
+    sample["depth"] = depth.astype(np.float32)
+    sample["mask"] = depth > 0
+
+    eval_config = _category_config(tmp_path)
+    eval_config["samples"] = 300
+    dataset = _FakeCategoryDataset([sample])
+    pipelines = {"mug": SDFPipeline(config)}
+    results = CategoryEvaluator(eval_config, dataset, pipelines).run()
+    agg = results["mug"]
+    assert agg["count"] == 1 and agg["failed"] == 0
+    assert np.isfinite(agg["means"]["position_error"])
+    assert np.isfinite(agg["means"]["chamfer"])
+    assert 0.0 <= agg["means"]["iou_3d"] <= 1.0
