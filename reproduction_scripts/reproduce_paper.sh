@@ -16,3 +16,19 @@ python -m sdfest_tpu.scripts.rendering_evaluation \
 python -m sdfest_tpu.scripts.real_data \
   --config sdfest_tpu/configs/estimation/runtime_analysis.yaml \
   --out_folder results/runtime
+
+# Category-level benchmarks (the reference defers these to the external
+# cpas_toolbox, reproduce_paper.sh:33-37 "coming soon"; in-repo here).
+# Requires the NOCS REAL275 release tree / annotated Redwood sequences.
+if [ -d "${NOCS_DIR:-./data/nocs}" ]; then
+  python -m sdfest_tpu.scripts.category_evaluation \
+    --config sdfest_tpu/configs/estimation/real275_evaluation.yaml \
+    --data_path "${NOCS_DIR:-./data/nocs}" --out_folder results/real275
+fi
+if [ -d "${REDWOOD_DIR:-./data/redwood}" ]; then
+  python -m sdfest_tpu.scripts.category_evaluation \
+    --config sdfest_tpu/configs/estimation/redwood_evaluation.yaml \
+    --data_path "${REDWOOD_DIR:-./data/redwood}" \
+    --ann_dir "${REDWOOD75_DIR:-./data/redwood75}" \
+    --out_folder results/redwood75
+fi

@@ -452,3 +452,28 @@ def test_category_evaluation_real_pipeline(tmp_path):
     assert np.isfinite(agg["means"]["position_error"])
     assert np.isfinite(agg["means"]["chamfer"])
     assert 0.0 <= agg["means"]["iou_3d"] <= 1.0
+
+
+def test_category_evaluation_packaged_config_resolution(monkeypatch, tmp_path):
+    """category_configs entries resolve against the packaged config tree."""
+    from sdfest_tpu.scripts import category_evaluation as ce
+    from sdfest_tpu.utils.config import load_config_from_file
+
+    built = {}
+
+    class _Probe:
+        def __init__(self, config):
+            built.update(config)
+
+    monkeypatch.setattr(ce, "SDFPipeline", _Probe)
+    config = load_config_from_file(
+        os.path.join(ce._ESTIMATION_CONFIG_DIR, "real275_evaluation.yaml")
+    )
+    config["dataset"] = "nocs"
+    ev = ce.CategoryEvaluator(config, dataset=_FakeCategoryDataset([]))
+    assert ev._pipeline_for("mug") is not None
+    # merged mug model config on top of the evaluation defaults
+    assert built["vae"]["latent_size"] == 8
+    assert built["max_iterations"] == 30
+    assert built["camera"]["width"] == 640
+    assert ev._pipeline_for("unknown") is None
