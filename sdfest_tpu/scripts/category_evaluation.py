@@ -282,20 +282,27 @@ class CategoryEvaluator:
         return bits
 
     # -- full run -------------------------------------------------------------
-    def run(self) -> dict:
+    def default_indices(self) -> list:
+        indices = list(range(len(self.dataset)))
         num_samples = self.config.get("num_samples")
-        indices = range(len(self.dataset))
         if num_samples is not None:
-            indices = list(indices)[: int(num_samples)]
+            indices = indices[: int(num_samples)]
+        return indices
 
-        per_category = defaultdict(list)
+    def evaluate_indices(self, indices) -> list:
+        """Raw scored records for the given dataset indices (no aggregation).
+
+        The multi-host sweep driver passes each process's index shard here
+        and merges the record lists before aggregating.
+        """
+        records = []
         for i in indices:
             sample = self.dataset[i]
             record = self.evaluate_sample(sample)
             if record is None:
                 continue
             record["correct"] = self._correctness_bits(record)
-            per_category[record["category"]].append(record)
+            records.append(record)
             print(
                 f"[{i}] {record['category']}: "
                 f"pos {record['position_error']:.4f} m, "
@@ -303,14 +310,25 @@ class CategoryEvaluator:
                 f"IoU {record['iou_3d']:.3f}"
                 + (" (FAILED)" if record["failed"] else "")
             )
+        return records
 
+    @classmethod
+    def aggregate_records(cls, records) -> dict:
+        """Per-category + overall aggregation of raw scored records."""
+        per_category = defaultdict(list)
+        for record in records:
+            per_category[record["category"]].append(record)
         results = {
-            cat: self._aggregate(records)
-            for cat, records in sorted(per_category.items())
+            cat: cls._aggregate(recs)
+            for cat, recs in sorted(per_category.items())
         }
-        all_records = [r for recs in per_category.values() for r in recs]
-        if all_records:
-            results["all"] = self._aggregate(all_records)
+        if records:
+            results["all"] = cls._aggregate(records)
+        return results
+
+    def run(self) -> dict:
+        records = self.evaluate_indices(self.default_indices())
+        results = self.aggregate_records(records)
         self._save_results(results)
         return results
 

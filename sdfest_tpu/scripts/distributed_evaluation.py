@@ -25,12 +25,67 @@ from sdfest_tpu.parallel import distributed as dist
 from sdfest_tpu.utils.config import load_config_from_args, save_config_to_file
 
 
+def run_distributed_category(config: dict, evaluator=None) -> dict:
+    """Category-level (REAL275/REDWOOD75) sweep sharded by dataset index.
+
+    Same structure as :func:`run_distributed`: every process scores its
+    index shard with :class:`CategoryEvaluator.evaluate_indices`, process 0
+    merges the raw record lists and aggregates exactly as a single-process
+    run would.
+    """
+    import pickle
+
+    import jax
+
+    from sdfest_tpu.scripts.category_evaluation import CategoryEvaluator
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    out_folder = config.get("out_folder", "distributed_eval_out")
+    run_name = config.get("run_name") or "category_eval"
+
+    if evaluator is None:
+        evaluator = CategoryEvaluator(config)
+    indices = evaluator.default_indices()
+    my_indices = dist.shard_work_list(indices)
+    print(f"[process {pid}/{nproc}] evaluating {len(my_indices)} of "
+          f"{len(indices)} samples")
+    records = evaluator.evaluate_indices(my_indices)
+
+    part = dist.partial_result_path(out_folder, run_name, pid)
+    dist.save_partial_results(part, records)
+    dist.barrier("sdfest_category_eval_done")
+    if pid != 0:
+        return records
+
+    merged = []
+    for i in range(nproc):
+        with open(dist.partial_result_path(out_folder, run_name, i), "rb") as f:
+            merged.extend(pickle.load(f))
+    results = CategoryEvaluator.aggregate_records(merged)
+
+    os.makedirs(out_folder, exist_ok=True)
+    out_path = os.path.join(
+        out_folder,
+        f"category_eval_{run_name}_"
+        f"{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}_merged.yaml",
+    )
+    save_config_to_file(out_path, {**config, "results": results})
+    print(f"Merged results ({nproc} processes) saved to: {out_path}")
+    for p in _glob.glob(os.path.join(out_folder, f"{run_name}_part*.pkl")):
+        os.remove(p)
+    return results
+
+
 def run_distributed(config: dict) -> dict:
     """Evaluate this process's shard; process 0 merges and saves. Returns
     the merged statistics on process 0, this process's raw results else."""
     import jax
 
     from sdfest_tpu.scripts.rendering_evaluation import Evaluator, glob_exts
+
+    if "category_configs" in config:
+        return run_distributed_category(config)
 
     pid = jax.process_index()
     nproc = jax.process_count()
