@@ -35,13 +35,34 @@ def find_meshes(inp_folder: str) -> List[str]:
 
 
 def load_filter(filter_json: Optional[str]) -> Optional[set]:
-    """Load a mesh-selection json ({path_fragment: bool} or list of names)."""
+    """Load a mesh-selection json.
+
+    Three formats are accepted:
+
+    - ``{path_fragment: bool}`` — the ``good_meshes.json`` template written
+      by ``--review_sheet`` (keep entries that are true);
+    - ``{category_dir: [mesh_path, ...]}`` — the reference's curated
+      ``final_meshes.json`` (shipped at the repo root; consumed by
+      /root/reference/sdfest/vae/scripts/process_shapenet.py:211-290).  The
+      kept fragments are normalized to ``<synset>/<model>/...`` suffixes so
+      they match regardless of where the user's ShapeNet root lives;
+    - a plain list of path fragments.
+    """
     if filter_json is None or not os.path.exists(filter_json):
         return None
     with open(filter_json) as f:
         data = json.load(f)
     if isinstance(data, dict):
-        return {k for k, v in data.items() if v}
+        fragments = set()
+        for key, value in data.items():
+            if isinstance(value, (list, tuple)):
+                synset = os.path.basename(os.path.normpath(key))
+                for path in value:
+                    rel = os.path.relpath(path, key)
+                    fragments.add(os.path.join(synset, rel))
+            elif value:
+                fragments.add(key)
+        return fragments
     return set(data)
 
 

@@ -73,6 +73,50 @@ def test_process_shapenet_filter_json(tmp_path):
     assert not os.path.exists(out / "00001.npy")
 
 
+def test_process_shapenet_reference_final_meshes_format(tmp_path):
+    """The shipped final_meshes.json format ({category_dir: [paths]}) selects
+    exactly the curated meshes regardless of the user's ShapeNet root."""
+    from sdfest_tpu.scripts.process_shapenet import load_filter, process
+
+    synset = "03797390"
+    inp = tmp_path / "my_shapenet_root" / synset
+    for name in ("keepme", "dropme"):
+        d = inp / name / "models"
+        d.mkdir(parents=True)
+        _cube_obj(str(d / "model_normalized.obj"))
+    selection = tmp_path / "final_meshes.json"
+    selection.write_text(json.dumps({
+        f"./data/shapenet/{synset}/": [
+            f"./data/shapenet/{synset}/keepme/models/model_normalized.obj",
+        ],
+    }))
+    frags = load_filter(str(selection))
+    assert frags == {f"{synset}/keepme/models/model_normalized.obj"}
+    out = tmp_path / "filtered"
+    n = process(
+        str(inp), str(out), resolution=16, padding=2,
+        filter_json=str(selection), jobs=1,
+    )
+    assert n == 1
+    assert os.path.exists(out / "00000.npy")
+    assert not os.path.exists(out / "00001.npy")
+
+
+def test_shipped_final_meshes_artifact_loads():
+    """The repo ships the paper's curated selection (reference repo root,
+    93 KB); every category list must normalize to synset-prefixed fragments."""
+    root = os.path.join(os.path.dirname(__file__), "..", "final_meshes.json")
+    from sdfest_tpu.scripts.process_shapenet import load_filter
+
+    frags = load_filter(root)
+    assert frags is not None and len(frags) == 286 + 98 + 114 + 365 + 68 + 31
+    assert all(f.endswith(".obj") for f in frags)
+    synsets = {f.split(os.sep)[0] for f in frags}
+    assert synsets == {
+        "02876657", "02880940", "03797390", "03642806", "02946921", "02942699"
+    }
+
+
 def test_process_shapenet_review_sheet(tmp_path):
     pytest.importorskip("matplotlib")
     from sdfest_tpu.scripts.process_shapenet import review_sheet
