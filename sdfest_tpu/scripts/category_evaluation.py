@@ -138,11 +138,11 @@ class CategoryEvaluator:
             **DEFAULT_SYMMETRY_AXES,
             **(config.get("symmetry_axes") or {}),
         }
-        self._correctness = config.get("correctness", DEFAULT_CORRECTNESS)
+        self._correctness = config.get("correctness") or DEFAULT_CORRECTNESS
         self._metrics = config.get("metrics", {})
         self._samples = config.get("samples", 20000)
         self._gt_mesh_metric = config.get(
-            "gt_mesh_metric", config["dataset"] == "redwood"
+            "gt_mesh_metric", config.get("dataset") == "redwood"
         )
 
     # -- per-category pipeline ------------------------------------------------
@@ -218,9 +218,13 @@ class CategoryEvaluator:
 
         pos_pred = np.asarray(position[0], np.float64)
         rot_pred = Rotation.from_quat(np.asarray(orientation[0], np.float64))
-        extent_pred = (
-            out_mesh.vertices.max(axis=0) - out_mesh.vertices.min(axis=0)
-        )
+        bbox_min = out_mesh.vertices.min(axis=0)
+        bbox_max = out_mesh.vertices.max(axis=0)
+        extent_pred = bbox_max - bbox_min
+        # The predicted box is the mesh's object-frame bbox: if its center is
+        # offset from the origin (marching-cubes meshes rarely center exactly),
+        # the box center in camera frame is position + R * center_offset.
+        box_center_pred = pos_pred + rot_pred.apply((bbox_min + bbox_max) / 2.0)
         pos_gt = np.asarray(sample["position"], np.float64)
         rot_gt = Rotation.from_quat(np.asarray(sample["quaternion"], np.float64))
         extent_gt = np.asarray(sample["scale"], np.float64).reshape(-1)
@@ -232,7 +236,7 @@ class CategoryEvaluator:
         record["iou_3d"] = float(
             metrics_module.symmetric_box_iou(
                 extent_gt, pos_gt, rot_gt,
-                extent_pred, pos_pred, rot_pred,
+                extent_pred, box_center_pred, rot_pred,
                 sym_axis,
             )
         )
@@ -342,8 +346,13 @@ class CategoryEvaluator:
         out["correctness"] = {
             name: float(np.mean(bits)) for name, bits in correctness.items()
         }
+        # Continuous means average the SUCCESSFUL samples only, so every
+        # column averages the same population; failures are reported solely
+        # through the ``failed`` count and the correctness fractions (where
+        # they count as incorrect, per the NOCS protocol).
+        succeeded = [r for r in records if not r["failed"]]
         scalar_names = set()
-        for r in records:
+        for r in succeeded:
             scalar_names.update(
                 k
                 for k, v in r.items()
@@ -353,7 +362,7 @@ class CategoryEvaluator:
         for name in sorted(scalar_names):
             vals = [
                 r[name]
-                for r in records
+                for r in succeeded
                 if isinstance(r.get(name), float) and np.isfinite(r[name])
             ]
             if vals:

@@ -385,7 +385,8 @@ def test_category_evaluation_threshold_grid(tmp_path):
     assert corr["deg_cm_5deg_10cm"] == 0.0
     assert corr["deg_cm_10deg_10cm"] == 1.0
     # 0.07 m offset on a 0.1 m box: IoU = 0.03/0.17 ~ 0.176 < 0.25
-    assert corr["deg_cm_iou25" if "deg_cm_iou25" in corr else "iou_3d_iou25"] == 0.0
+    # (DEFAULT_CORRECTNESS makes the grid naming deterministic)
+    assert corr["iou_3d_iou25"] == 0.0
     assert results["mug"]["means"]["position_error"] == pytest.approx(0.07)
     assert results["mug"]["means"]["degree_error"] == pytest.approx(7.0, abs=1e-4)
 
@@ -418,6 +419,63 @@ def test_category_evaluation_symmetry_and_failures(tmp_path):
     results = ev.run()
     assert results["bowl"]["failed"] == 2
     assert all(v == 0.0 for v in results["bowl"]["correctness"].values())
+    # failed samples are excluded from ALL continuous means (they would
+    # otherwise mix populations: iou_3d=0.0 is finite, errors are inf)
+    assert results["bowl"]["means"] == {}
+
+
+def test_category_evaluation_means_population_consistency(tmp_path):
+    """With one success and one failure, every mean averages only the
+    successful sample — including iou_3d (which is finite for failures)."""
+    from sdfest_tpu.scripts.category_evaluation import CategoryEvaluator
+
+    dataset = _FakeCategoryDataset(
+        [_category_sample("mug"), _category_sample("mug")]
+    )
+
+    class _HalfFailPipeline(_FakePipeline):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._calls = 0
+
+        def __call__(self, depth, mask):
+            self._calls += 1
+            if self._calls > 1:
+                from sdfest_tpu.pipeline.pipeline import NoDepthError
+
+                raise NoDepthError("no depth")
+            return super().__call__(depth, mask)
+
+    pipelines = {
+        "mug": _HalfFailPipeline([0.0, 0.0, 0.3], [0.0, 0.0, 0.0, 1.0], 0.05)
+    }
+    config = _category_config(tmp_path)
+    config["out_folder"] = None
+    results = CategoryEvaluator(config, dataset, pipelines).run()
+    agg = results["mug"]
+    assert agg["count"] == 2 and agg["failed"] == 1
+    # means computed over the one successful sample only
+    assert agg["means"]["iou_3d"] > 0.99
+    assert agg["means"]["position_error"] < 1e-6
+    # correctness still counts the failure as incorrect: 1/2
+    assert agg["correctness"]["iou_3d_iou25"] == 0.5
+
+
+def test_category_evaluation_config_robustness(tmp_path):
+    """Injected dataset without a 'dataset' key + explicit null correctness
+    fall back cleanly (ADVICE round-2 findings)."""
+    from sdfest_tpu.scripts.category_evaluation import CategoryEvaluator
+
+    dataset = _FakeCategoryDataset([_category_sample()])
+    pipelines = {
+        "mug": _FakePipeline([0.0, 0.0, 0.3], [0.0, 0.0, 0.0, 1.0], 0.05)
+    }
+    config = _category_config(tmp_path)
+    config["out_folder"] = None
+    del config["dataset"]
+    config["correctness"] = None  # as written by an explicit YAML null
+    results = CategoryEvaluator(config, dataset, pipelines).run()
+    assert results["mug"]["correctness"]["iou_3d_iou25"] == 1.0
 
 
 @pytest.mark.skipif(not HAS_REFERENCE, reason="reference fixture unavailable")
