@@ -2,7 +2,8 @@
 
 Capability parity with the reference ``Camera``
 (/root/reference/sdfest/differentiable_renderer/sdf_renderer.py:31-133),
-without the Open3D export.  The camera is a hashable frozen dataclass so it
+including the Open3D export (gated on open3d being importable — it is an
+optional interop dependency here).  The camera is a hashable frozen dataclass so it
 can be passed as a static argument to jitted functions (image dimensions and
 intrinsics are compile-time constants on TPU, which is a feature: fixed-shape
 rasters compile to fully tiled programs).
@@ -37,6 +38,32 @@ class Camera:
         cx_corrected = self.cx - self.pixel_center + pixel_center
         cy_corrected = self.cy - self.pixel_center + pixel_center
         return self.fx, self.fy, cx_corrected, cy_corrected, self.s
+
+    def intrinsic_matrix(self, pixel_center: float = 0.0):
+        """3x3 intrinsic matrix ``[[fx, s, cx], [0, fy, cy], [0, 0, 1]]``
+        for the requested pixel-center convention (row-major numpy array)."""
+        import numpy as np
+
+        fx, fy, cx, cy, s = self.get_pinhole_camera_parameters(pixel_center)
+        return np.array(
+            [[fx, s, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], dtype=np.float64
+        )
+
+    def get_o3d_pinhole_camera_parameters(self, pixel_center: float = 0.0):
+        """Open3D ``PinholeCameraParameters`` with identity extrinsics —
+        interop parity with the reference's Open3D export
+        (/root/reference/sdfest/differentiable_renderer/sdf_renderer.py:116-133).
+        Requires the optional ``open3d`` package."""
+        import numpy as np
+        import open3d as o3d
+
+        params = o3d.camera.PinholeCameraParameters()
+        fx, fy, cx, cy, _ = self.get_pinhole_camera_parameters(pixel_center)
+        params.intrinsic.set_intrinsics(
+            self.width, self.height, fx, fy, cx, cy
+        )
+        params.extrinsic = np.eye(4)
+        return params
 
     def strided(self, factor: int) -> "Camera":
         """Camera observing every ``factor``-th pixel of this camera.

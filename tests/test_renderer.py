@@ -212,3 +212,24 @@ def test_strided_camera_rejects_bad_strides():
         cam.strided(5)  # does not divide 48
     with pytest.raises(ValueError):
         cam.strided(0)
+
+
+def test_camera_intrinsic_matrix_and_o3d_export():
+    """Pixel-center conversion flows into the 3x3 matrix; the Open3D export
+    (reference sdf_renderer.py:116-133 parity) is exercised when open3d is
+    installed."""
+    cam = Camera(width=64, height=48, fx=32, fy=30, cx=31.5, cy=23.5,
+                 pixel_center=0.5)
+    k = cam.intrinsic_matrix(pixel_center=0.0)
+    assert k.shape == (3, 3)
+    assert k[0, 0] == 32 and k[1, 1] == 30
+    assert k[0, 2] == pytest.approx(31.0)  # 31.5 - 0.5 + 0.0
+    assert k[1, 2] == pytest.approx(23.0)
+    assert k[2, 2] == 1.0 and k[1, 0] == 0.0
+    try:
+        import open3d  # noqa: F401
+    except ImportError:
+        return
+    params = cam.get_o3d_pinhole_camera_parameters(0.0)
+    np.testing.assert_allclose(params.extrinsic, np.eye(4))
+    assert params.intrinsic.width == 64
