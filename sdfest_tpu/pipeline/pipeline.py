@@ -189,6 +189,77 @@ class SDFPipeline:
         position = position + centroid[None]
         return latent, position, scale, orientation, any_valid
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _nn_init_views(
+        self,
+        depth_images: jax.Array,
+        camera_positions: jax.Array,
+        camera_orientations: jax.Array,
+        key: jax.Array,
+        prior_orientation_distribution: Optional[jax.Array] = None,
+        training_orientation_distribution: Optional[jax.Array] = None,
+    ):
+        """Fully traced multi-view initialization: vmap over views + traced
+        "first"/"best" selection.
+
+        Replaces the reference's per-view Python loop
+        (/root/reference/sdfest/estimation/simple_setup.py:718-842, which also
+        calls CPU healpy per view) with ONE XLA program: every view's
+        PointNet forward, posterior adjustment, camera->world transform, and
+        the argmax selection over per-view posterior maxima are traced, so
+        the init path costs a single device round-trip (the validity scalar)
+        and batches/shards like the rest of the pipeline.
+
+        Returns ``(latent, position, scale, orientation, ok)`` for the
+        selected view; ``ok`` is the strategy-appropriate validity scalar
+        ("first": view 0 has valid depth; "best": every view does — matching
+        the reference loop, which visits all views and raises on any empty
+        one).
+        """
+        n_views = depth_images.shape[0]
+        init_view = self.config.get("init_view", "first")
+        keys = jax.random.split(key, n_views)
+        latent, position, scale, orientation, any_valid = jax.vmap(
+            self._nn_init_single
+        )(depth_images, keys)
+        if self.orientation_repr == "discretized":
+            posterior = jax.nn.softmax(orientation, axis=-1)  # (V, 1, C)
+            prior = prior_orientation_distribution
+            if prior is not None:
+                prior = prior[:, None, :]  # align with the (V, 1, C) posterior
+            posterior = _adjust_categorical_posterior(
+                posterior, prior, training_orientation_distribution
+            )
+            orientation_camera = self._grid_quats[
+                jnp.argmax(posterior, axis=-1)
+            ]  # (V, 1, 4)
+            maxima = jnp.max(posterior, axis=(-2, -1))  # (V,)
+        else:  # quaternion (validated by the caller)
+            orientation_camera = orientation
+            maxima = jnp.ones((n_views,), orientation.dtype)
+        # camera -> world frame, all views at once
+        position_world = (
+            jax.vmap(quaternion.apply)(camera_orientations, position)
+            + camera_positions[:, None, :]
+        )
+        orientation_world = jax.vmap(quaternion.multiply)(
+            camera_orientations[:, None, :], orientation_camera
+        )
+        if init_view == "first":
+            idx = 0
+            ok = any_valid[0]
+        else:  # "best" (validated by the caller)
+            idx = jnp.argmax(maxima)
+            ok = jnp.all(any_valid)
+        take = lambda x: x[idx]
+        return (
+            take(latent),
+            take(position_world),
+            take(scale),
+            take(orientation_world),
+            ok,
+        )
+
     def _nn_init(
         self,
         depth_images: jax.Array,
@@ -198,7 +269,12 @@ class SDFPipeline:
         prior_orientation_distribution: Optional[jax.Array] = None,
         training_orientation_distribution: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-        """Initialization over views with "first"/"best" selection strategy."""
+        """Initialization over views with "first"/"best" selection strategy.
+
+        Thin host wrapper over the jitted :meth:`_nn_init_views`: validates
+        static options, then performs the ONE blocking sync of the init path
+        (the validity scalar -> :class:`NoDepthError`).
+        """
         if (
             prior_orientation_distribution is not None
             and self.orientation_repr != "discretized"
@@ -207,59 +283,31 @@ class SDFPipeline:
                 "prior_orientation_distribution only supported for discretized "
                 "orientation representation."
             )
-        n_views = depth_images.shape[0]
+        if self.orientation_repr not in ("discretized", "quaternion"):
+            raise NotImplementedError(
+                f"Orientation representation {self.orientation_repr} unsupported."
+            )
         init_view = self.config.get("init_view", "first")
-        best_prob = -1.0
-        best_result = None
-        for i in range(n_views):
-            key, subkey = jax.random.split(key)
-            latent, position, scale, orientation, any_valid = self._nn_init_single(
-                depth_images[i], subkey
-            )
-            if not bool(any_valid):
-                raise NoDepthError
-            if self.orientation_repr == "discretized":
-                posterior = jax.nn.softmax(orientation, axis=-1)
-                prior_i = (
-                    prior_orientation_distribution[i]
-                    if prior_orientation_distribution is not None
-                    else None
-                )
-                posterior = _adjust_categorical_posterior(
-                    posterior, prior_i, training_orientation_distribution
-                )
-                orientation_camera = self._grid_quats[jnp.argmax(posterior)][None]
-                maximum = float(jnp.max(posterior))
-            elif self.orientation_repr == "quaternion":
-                orientation_camera = orientation
-                maximum = 1.0
-            else:
+        if init_view == "best":
+            if self.orientation_repr != "discretized":
                 raise NotImplementedError(
-                    f"Orientation representation {self.orientation_repr} unsupported."
+                    '"best" init strategy requires discretized orientations'
                 )
-            # camera -> world frame
-            position_world = (
-                quaternion.apply(camera_orientations[i], position)
-                + camera_positions[i]
+        elif init_view != "first":
+            raise NotImplementedError(
+                'Only "first" and "best" init strategies are supported'
             )
-            orientation_world = quaternion.multiply(
-                camera_orientations[i], orientation_camera
-            )
-            if init_view == "first":
-                return latent, position_world, scale, orientation_world
-            elif init_view == "best":
-                if self.orientation_repr != "discretized":
-                    raise NotImplementedError(
-                        '"best" init strategy requires discretized orientations'
-                    )
-                if maximum > best_prob:
-                    best_prob = maximum
-                    best_result = (latent, position_world, scale, orientation_world)
-            else:
-                raise NotImplementedError(
-                    'Only "first" and "best" init strategies are supported'
-                )
-        return best_result
+        latent, position, scale, orientation, ok = self._nn_init_views(
+            depth_images,
+            camera_positions,
+            camera_orientations,
+            key,
+            prior_orientation_distribution,
+            training_orientation_distribution,
+        )
+        if not bool(ok):
+            raise NoDepthError
+        return latent, position, scale, orientation
 
     def _make_optimizer(self) -> optax.GradientTransformation:
         lrs = {
@@ -276,7 +324,7 @@ class SDFPipeline:
             ),
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 9, 10, 11, 12))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 9, 10, 11, 12, 15))
     def _refine(
         self,
         state: Dict[str, jax.Array],
@@ -291,6 +339,9 @@ class SDFPipeline:
         ds_factor: int = 1,
         num_iterations: Optional[int] = None,
         allow_early_stop: bool = True,
+        opt_state=None,
+        best: Optional[Dict[str, jax.Array]] = None,
+        return_full: bool = False,
     ):
         """Jitted iterative refinement: one XLA program for the full loop.
 
@@ -318,6 +369,13 @@ class SDFPipeline:
         iteration costs roughly ``1/f^2`` of a full one while the pose is
         still far from converged.  ``num_iterations`` overrides the
         config ``max_iterations`` (each phase runs its own scan length).
+
+        ``opt_state`` / ``best`` allow chaining scan segments WITHOUT
+        resetting Adam or the best-inlier tracker (chunked batched early
+        stopping, :meth:`refine_batch`); ``return_full=True`` additionally
+        returns the final optimizer state: ``(state, opt_state, best,
+        log)``.  Chaining segments this way is bit-identical to one long
+        scan (pinned by ``test_refine_chunked_equals_full``).
         """
         # standardize on float32 (the TPU-native compute dtype)
         to_f32 = lambda t: jax.tree_util.tree_map(
@@ -328,7 +386,8 @@ class SDFPipeline:
             (state, depth_images, points, camera_positions, camera_orientations),
         )
         optimizer = self._make_optimizer()
-        opt_state = optimizer.init(state)
+        if opt_state is None:
+            opt_state = optimizer.init(state)
         depth_weight = self.config.get("depth_weight", 1.0)
         pc_weight = self.config.get("pc_weight", 1.0)
         # nn_weight is accepted for config-schema parity only: the
@@ -600,10 +659,16 @@ class SDFPipeline:
                 log = dict(log, active=jnp.asarray(1.0, jnp.float32))
                 return (state, opt_state, best, warm), log
 
-        best0 = {
-            "inlier_ratio": jnp.asarray(-1.0, dtype=jnp.float32),
-            **{k: state[k] for k in ("position", "orientation", "scale", "latent")},
-        }
+        if best is not None:
+            best0 = to_f32(best)
+        else:
+            best0 = {
+                "inlier_ratio": jnp.asarray(-1.0, dtype=jnp.float32),
+                **{
+                    k: state[k]
+                    for k in ("position", "orientation", "scale", "latent")
+                },
+            }
         from sdfest_tpu.render.warm import init_warm_views
 
         warm0 = {
@@ -637,6 +702,8 @@ class SDFPipeline:
         out_carry, log = jax.lax.scan(
             step, carry0, jnp.arange(max_iterations)
         )
+        if return_full:
+            return out_carry[0], out_carry[1], out_carry[2], log
         return out_carry[0], out_carry[2], log
 
     def _roi_for(self, depth_images) -> Optional[Tuple[int, int]]:
@@ -1043,6 +1110,7 @@ class SDFPipeline:
         shape_optimization: bool = True,
         roi: Optional[Tuple[int, int]] = None,
         multires: Optional[Tuple[int, int]] = None,
+        adaptive: bool = False,
     ):
         """Refine a batch of hypotheses in parallel (vmap of the scan program).
 
@@ -1055,10 +1123,28 @@ class SDFPipeline:
         ``self._multires_for()`` for the config policy; the coarse phase
         strides ``depth_images`` internally and never uses an ROI); the
         returned log concatenates both phases, covering the full
-        ``max_iterations`` like :meth:`__call__`.  ``early_stop_delta`` is
-        ignored here: under vmap the per-hypothesis freeze cond lowers to
-        a select that executes both branches, so it could only add cost.
+        ``max_iterations`` like :meth:`__call__`.
+
+        The single-instance freeze-cond early stopping is NOT used here:
+        under vmap a per-hypothesis ``lax.cond`` lowers to a select that
+        executes both branches, so it could only add cost.  Instead,
+        ``adaptive=True`` (with ``early_stop_delta`` configured) runs the
+        batched early-stop variant: the fine phase executes in scan chunks
+        of ``early_stop_interval`` iterations — chained through Adam state
+        and the best tracker, so the trajectory is IDENTICAL to the
+        unchunked program — with one host sync per chunk; once EVERY
+        hypothesis's chunk-over-chunk relative loss improvement falls below
+        ``early_stop_delta``, the remaining chunks are skipped entirely
+        (real skipped compute, not a select).  The returned log then covers
+        only the executed iterations.
         """
+        early_delta = float(self.config.get("early_stop_delta", 0.0) or 0.0)
+        if adaptive and early_delta > 0.0:
+            return self._refine_batch_adaptive(
+                states, depth_images, points, point_masks,
+                camera_positions, camera_orientations,
+                shape_optimization, roi, multires, early_delta,
+            )
         coarse_log = None
         fine_iters = None
         if multires is not None:
@@ -1108,6 +1194,121 @@ class SDFPipeline:
                 for k in log
             }
         return final, best, log
+
+    def _refine_batch_adaptive(
+        self,
+        states: Dict[str, jax.Array],
+        depth_images: jax.Array,
+        points: jax.Array,
+        point_masks: jax.Array,
+        camera_positions: jax.Array,
+        camera_orientations: jax.Array,
+        shape_optimization: bool,
+        roi: Optional[Tuple[int, int]],
+        multires: Optional[Tuple[int, int]],
+        early_delta: float,
+    ):
+        """Batched early stopping via chunked scans (see :meth:`refine_batch`).
+
+        The coarse multires phase (if any) runs unchunked — the estimate is
+        far from converged there by construction.  The fine phase runs in
+        ``early_stop_interval``-sized chunks, chaining (state, Adam state,
+        best tracker) so the trajectory is bit-identical to the single long
+        scan; after each chunk ONE host sync reads the per-hypothesis
+        chunk-final losses and stops launching chunks once every hypothesis
+        has plateaued (the same relative-improvement predicate as the
+        single-instance freeze, ``max(|ref|, 1e-8)`` denominator included).
+        """
+        interval = int(self.config.get("early_stop_interval", 10))
+        if interval < 1:
+            raise ValueError(
+                f"early_stop_interval must be >= 1, got {interval}"
+            )
+        if self._use_temporal_coherence():
+            # the warm-march state would reset at every chunk boundary,
+            # silently degrading reuse and breaking the chunked==unchunked
+            # trajectory guarantee
+            raise ValueError(
+                "adaptive refine_batch and temporal_coherence are mutually "
+                "exclusive"
+            )
+        logs = []
+        fine_iters = int(self.config["max_iterations"])
+        if multires is not None:
+            factor, coarse_iters = multires
+            if coarse_iters >= fine_iters:
+                raise ValueError(
+                    "multires coarse_iters must leave at least one "
+                    "full-resolution iteration "
+                    f"(got {coarse_iters} >= {fine_iters})"
+                )
+            depth_coarse, points_c, point_masks_c = self._multires_inputs(
+                depth_images, factor
+            )
+            refine_coarse = functools.partial(
+                self._refine,
+                depth_images=depth_coarse,
+                points=points_c,
+                point_masks=point_masks_c,
+                camera_positions=camera_positions,
+                camera_orientations=camera_orientations,
+                shape_optimization=shape_optimization,
+                roi=None,
+                ds_factor=factor,
+                num_iterations=coarse_iters,
+                allow_early_stop=False,
+            )
+            states, _, coarse_log = jax.vmap(lambda s: refine_coarse(s))(states)
+            logs.append(coarse_log)
+            fine_iters -= coarse_iters
+
+        def chunk_fn(s, o, b, n):
+            return self._refine(
+                s,
+                depth_images,
+                points,
+                point_masks,
+                camera_positions,
+                camera_orientations,
+                shape_optimization,
+                None,
+                roi,
+                1,
+                n,
+                False,
+                opt_state=o,
+                best=b,
+                return_full=True,
+            )
+
+        opt_states = None
+        bests = None
+        ref_loss = None  # (N,) previous chunk-final losses
+        executed = 0
+        while executed < fine_iters:
+            n = min(interval, fine_iters - executed)
+            if opt_states is None:
+                states, opt_states, bests, log = jax.vmap(
+                    lambda s: chunk_fn(s, None, None, n)
+                )(states)
+            else:
+                states, opt_states, bests, log = jax.vmap(
+                    functools.partial(chunk_fn, n=n)
+                )(states, opt_states, bests)
+            logs.append(log)
+            executed += n
+            last_loss = log["loss"][:, -1]
+            if ref_loss is not None:
+                improved = (ref_loss - last_loss) >= early_delta * jnp.maximum(
+                    jnp.abs(ref_loss), 1e-8
+                )
+                if not bool(jnp.any(improved)):  # one host sync per chunk
+                    break
+            ref_loss = last_loss
+        log = {
+            k: jnp.concatenate([lg[k] for lg in logs], axis=1) for k in logs[0]
+        }
+        return states, bests, log
 
     def generate_depth(
         self,

@@ -100,6 +100,37 @@ def pytest_collection_modifyitems(config, items):
 
 
 @pytest.fixture
+def no_persistent_cache():
+    """Bypass the persistent compilation cache for one test.
+
+    XLA:CPU's ``deserialize_executable`` SEGFAULTS (not raises) reloading
+    certain cached executables when the process already holds many compiled
+    programs: the chunked vmapped ``_refine`` programs reproducibly crash
+    the FULL suite at the cache-read of ``test_adaptive_refine_batch_*``
+    while passing standalone (warm or cold).  The write side crashes too
+    (``executable.serialize()`` inside ``put_executable_and_time``), and
+    ``jax_raise_persistent_cache_errors`` cannot help — the failure is a
+    native crash, not an exception.  Nulling ``jax_compilation_cache_dir``
+    is NOT sufficient once the cache object is initialized (``_get_cache``
+    memoizes it), so this fixture blocks writes via
+    ``persistent_cache_min_compile_time_secs`` (read per call); reads stay
+    safe because the poisoned entries are then never persisted.  The
+    affected tests always compile fresh (~10 s each).
+    """
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_compilation_cache_dir", None)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
+
+
+@pytest.fixture
 def rng():
     return np.random.default_rng(0)
 

@@ -129,6 +129,57 @@ def test_init_view_best_multi_view():
     assert bool(jnp.all(jnp.isfinite(position)))
 
 
+def test_nn_init_best_selects_highest_posterior_view():
+    """The traced "best" selection picks the view whose (prior-adjusted)
+    posterior has the highest maximum — here forced via a delta prior."""
+    pipeline = SDFPipeline(_config(init_view="best"))
+    depth, mask = _scene(pipeline)
+    depth = jnp.where(mask, depth, 0.0)
+    depths = jnp.stack([depth, depth])
+    num_cells = pipeline._grid_quats.shape[0]
+    prior = jnp.stack([
+        jnp.ones((num_cells,)) / num_cells,        # view 0: flat
+        jnp.zeros((num_cells,)).at[7].set(1.0),    # view 1: delta at cell 7
+    ])
+    latent, position, scale, orientation = pipeline._nn_init(
+        depths,
+        jnp.zeros((2, 3)),
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (2, 1)),
+        jax.random.PRNGKey(0),
+        prior_orientation_distribution=prior,
+    )
+    # view 1's delta prior makes its posterior max 1.0 > view 0's, so the
+    # selected init orientation must be grid cell 7 (identity camera frame)
+    np.testing.assert_allclose(
+        np.asarray(orientation[0]), np.asarray(pipeline._grid_quats[7]),
+        atol=1e-6,
+    )
+
+
+def test_nn_init_no_depth_semantics():
+    """"first" checks view 0 only; "best" requires every view non-empty
+    (parity with the reference loop, simple_setup.py:780-781)."""
+    from sdfest_tpu.pipeline.pipeline import NoDepthError
+
+    pipeline = SDFPipeline(_config())
+    depth, mask = _scene(pipeline)
+    depth = jnp.where(mask, depth, 0.0)
+    empty = jnp.zeros_like(depth)
+    cam_p = jnp.zeros((2, 3))
+    cam_q = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (2, 1))
+    key = jax.random.PRNGKey(0)
+    # "first": an empty SECOND view is never consulted
+    out = pipeline._nn_init(jnp.stack([depth, empty]), cam_p, cam_q, key)
+    assert bool(jnp.all(jnp.isfinite(out[1])))
+    # "first": an empty FIRST view raises
+    with pytest.raises(NoDepthError):
+        pipeline._nn_init(jnp.stack([empty, depth]), cam_p, cam_q, key)
+    # "best": any empty view raises
+    best = SDFPipeline(_config(init_view="best"))
+    with pytest.raises(NoDepthError):
+        best._nn_init(jnp.stack([depth, empty]), cam_p, cam_q, key)
+
+
 def test_mean_shape_ablation():
     pipeline = SDFPipeline(_config(mean_shape=True, max_iterations=1))
     depth, mask = _scene(pipeline)
@@ -264,6 +315,104 @@ def test_early_stop_composes_with_multires(tmp_path):
     assert log["active"].shape[0] == 6
     # delta=1.0 / interval=1 freezes both phases almost immediately
     assert log["active"].sum() < 6
+
+
+def _batch_inputs(pipeline, n_hyp=2):
+    from sdfest_tpu.ops import pointset
+
+    depth, mask = _scene(pipeline)
+    depth = jnp.where(mask, depth, 0.0)
+    points, pmask = jax.vmap(
+        lambda d: pointset.depth_to_pointcloud_dense(
+            d, pipeline.camera, order="tile"
+        )
+    )(depth[None])
+    key = jax.random.PRNGKey(3)
+    states = {
+        "position": jnp.asarray([0.02, -0.01, -0.45])[None, None]
+        + 0.02 * jax.random.normal(key, (n_hyp, 1, 3)),
+        "orientation": jnp.tile(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n_hyp, 1, 1)
+        ),
+        "scale": jnp.full((n_hyp, 1), 0.12),
+        "latent": jnp.tile(
+            jax.random.normal(jax.random.PRNGKey(5), (1, 8)), (n_hyp, 1, 1)
+        ),
+    }
+    views = (
+        depth[None],
+        points,
+        pmask,
+        jnp.zeros((1, 3)),
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]]),
+    )
+    return states, views
+
+
+def test_refine_chunked_equals_full(no_persistent_cache):
+    """Chaining scan chunks through (state, Adam state, best) reproduces the
+    single long scan — the invariant batched early stopping rests on."""
+    config = _config(
+        max_iterations=7, early_stop_delta=1e-12, early_stop_interval=3
+    )
+    pipeline = SDFPipeline(config)
+    states, views = _batch_inputs(pipeline)
+    # delta ~ 0 never trips the plateau predicate: all 7 iterations run,
+    # chunked 3+3+1
+    final_a, best_a, log_a = pipeline.refine_batch(
+        states, *views, adaptive=True
+    )
+    final_b, best_b, log_b = pipeline.refine_batch(
+        states, *views, adaptive=False
+    )
+    assert log_a["loss"].shape == log_b["loss"].shape == (2, 7)
+    for k in final_a:
+        np.testing.assert_allclose(
+            np.asarray(final_a[k]), np.asarray(final_b[k]), atol=1e-5,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(best_a["inlier_ratio"]),
+        np.asarray(best_b["inlier_ratio"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(log_a["loss"]), np.asarray(log_b["loss"]), atol=1e-5
+    )
+
+
+def test_adaptive_refine_batch_stops_early(no_persistent_cache):
+    """A demanding delta stops launching chunks once every hypothesis
+    plateaus — the log covers only the executed iterations."""
+    config = _config(
+        max_iterations=20, early_stop_delta=1.0, early_stop_interval=2
+    )
+    pipeline = SDFPipeline(config)
+    states, views = _batch_inputs(pipeline)
+    final, best, log = pipeline.refine_batch(states, *views, adaptive=True)
+    executed = log["loss"].shape[1]
+    assert executed < 20 and executed % 2 == 0
+    assert bool(jnp.all(jnp.isfinite(final["position"])))
+    # the executed prefix matches the non-adaptive trajectory exactly
+    _, _, log_full = pipeline.refine_batch(states, *views, adaptive=False)
+    np.testing.assert_allclose(
+        np.asarray(log["loss"]),
+        np.asarray(log_full["loss"][:, :executed]), atol=1e-5,
+    )
+
+
+def test_adaptive_refine_batch_composes_with_multires(no_persistent_cache):
+    config = _config(
+        max_iterations=6, multires_factor=2, multires_iterations=2,
+        early_stop_delta=1e-12, early_stop_interval=2,
+    )
+    pipeline = SDFPipeline(config)
+    states, views = _batch_inputs(pipeline)
+    final, best, log = pipeline.refine_batch(
+        states, *views, multires=pipeline._multires_for(), adaptive=True
+    )
+    # coarse 2 + fine 4, none skipped at delta ~ 0
+    assert log["loss"].shape == (2, 6)
+    assert bool(jnp.all(jnp.isfinite(log["loss"])))
 
 
 def test_multires_multi_view():
