@@ -706,7 +706,9 @@ class SDFPipeline:
             return out_carry[0], out_carry[1], out_carry[2], log
         return out_carry[0], out_carry[2], log
 
-    def _roi_for(self, depth_images) -> Optional[Tuple[int, int]]:
+    def _roi_for(
+        self, depth_images, factor: int = 1
+    ) -> Optional[Tuple[int, int]]:
         """Resolve the refinement ROI for these (concrete) inputs.
 
         Config ``roi_size: [Hr, Wr]`` opts in.  Falls back to full-frame
@@ -716,12 +718,22 @@ class SDFPipeline:
         does not fit the frame, or when temporal coherence is on.  Decided
         host-side on concrete values so the jitted program count stays at
         two variants per config.
+
+        With ``factor > 1`` this resolves the COARSE-phase ROI of a
+        multires schedule: ``depth_images`` are the strided observations
+        and frame dims, configured ROI size and wander margin all scale by
+        ``1/factor`` (the estimate wanders the same metric distance, which
+        is ``factor`` x fewer coarse pixels).  Composing both cuts the
+        coarse phase's raster-proportional costs the same way the fine
+        ROI does — the crop render is still exactly a crop of the strided
+        render, so the optimization problem is unchanged.
         """
         roi_cfg = self.config.get("roi_size")
         if not roi_cfg or self._use_temporal_coherence():
             return None
-        h, w = self.camera.height, self.camera.width
-        margin = int(self.config.get("roi_margin", 48))
+        h = self.camera.height // factor
+        w = self.camera.width // factor
+        margin = -(-int(self.config.get("roi_margin", 48)) // factor)
         # ceil to the march tile: a non-16-multiple ROI would silently
         # knock render_depth off the fused pallas path (full-frame render
         # + crop every iteration — slower than no ROI at all)
@@ -735,7 +747,9 @@ class SDFPipeline:
                 (align(h / 2), align(w / 2)),
             ]
         else:
-            candidates = [(align(roi_cfg[0]), align(roi_cfg[1]))]
+            candidates = [
+                (align(roi_cfg[0] / factor), align(roi_cfg[1] / factor))
+            ]
         d = np.asarray(depth_images > 0)
         spans = []
         for v in range(d.shape[0]):
@@ -775,9 +789,10 @@ class SDFPipeline:
         the stride does not divide the raster, when the strided raster
         would knock the pallas backend off its tiled fast path (H/f or W/f
         not a multiple of the march tile), when temporal coherence is on,
-        or when the camera has skew.  The coarse phase never uses an ROI
-        (its raster is already small); the fine phase keeps the existing
-        ROI logic.
+        or when the camera has skew.  Both phases compose with the ROI
+        policy: the fine phase uses ``_roi_for(depth)`` and the coarse
+        phase ``_roi_for(depth_coarse, factor)`` (sizes and margin scaled
+        by the stride).
         """
         factor = int(self.config.get("multires_factor", 1) or 1)
         n_cfg = self.config.get("multires_iterations", 0)
@@ -976,6 +991,11 @@ class SDFPipeline:
             depth_coarse, points_c, point_masks_c = self._multires_inputs(
                 depth_images, factor
             )
+            # the coarse phase composes with a (stride-scaled) ROI as well:
+            # its raster-proportional costs shrink the same way the fine
+            # phase's do, and the crop render is still exactly a crop of
+            # the strided render
+            roi_c = self._roi_for(depth_coarse, factor)
             state, _, coarse_log = self._refine(
                 state,
                 depth_coarse,
@@ -985,7 +1005,7 @@ class SDFPipeline:
                 camera_orientations,
                 shape_optimization,
                 point_constraint,
-                None,
+                roi_c,
                 factor,
                 coarse_iters,
             )
@@ -1121,7 +1141,8 @@ class SDFPipeline:
         to apply the config policy).  ``multires=(factor, coarse_iters)``
         runs the coarse-to-fine schedule per hypothesis (pass
         ``self._multires_for()`` for the config policy; the coarse phase
-        strides ``depth_images`` internally and never uses an ROI); the
+        strides ``depth_images`` internally and composes its own
+        stride-scaled ROI per the config policy); the
         returned log concatenates both phases, covering the full
         ``max_iterations`` like :meth:`__call__`.
 
@@ -1166,7 +1187,7 @@ class SDFPipeline:
                 camera_positions=camera_positions,
                 camera_orientations=camera_orientations,
                 shape_optimization=shape_optimization,
-                roi=None,
+                roi=self._roi_for(depth_coarse, factor),
                 ds_factor=factor,
                 num_iterations=coarse_iters,
                 allow_early_stop=False,
@@ -1253,7 +1274,7 @@ class SDFPipeline:
                 camera_positions=camera_positions,
                 camera_orientations=camera_orientations,
                 shape_optimization=shape_optimization,
-                roi=None,
+                roi=self._roi_for(depth_coarse, factor),
                 ds_factor=factor,
                 num_iterations=coarse_iters,
                 allow_early_stop=False,

@@ -247,6 +247,31 @@ def test_multires_gating():
                               multires=(2, 4))
 
 
+def test_coarse_roi_composes_exactly():
+    """roi_size engages in BOTH phases of a multires schedule and leaves the
+    trajectory exactly unchanged: crop renders are exact crops, the depth
+    loss is masked to the observed-pixel overlap (all inside the crop), and
+    the pc loss is an order-invariant masked mean over the same valid set."""
+    kwargs = dict(max_iterations=6, multires_factor=2, multires_iterations=3)
+    pipeline_b = SDFPipeline(_config(**kwargs))
+    pipeline_f = SDFPipeline(
+        _config(roi_size=[32, 32], roi_margin=4, **kwargs)
+    )
+    depth, mask = _scene(pipeline_b)
+    # the coarse phase resolves a stride-scaled ROI of its own
+    depth_c = depth[None][:, ::2, ::2]
+    assert pipeline_f._roi_for(depth_c, factor=2) == (16, 16)
+    assert pipeline_f._roi_for(depth[None]) == (32, 32)
+    out_b = pipeline_b(depth, mask)
+    out_f = pipeline_f(depth, mask)
+    for name, a, b in zip(
+        ("position", "orientation", "scale", "latent"), out_b, out_f
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=name
+        )
+
+
 def test_multires_converges_like_single_phase():
     """The strided coarse phase must not hurt final accuracy (same
     optimization problem on a pixel subset)."""
