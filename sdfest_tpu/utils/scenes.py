@@ -26,24 +26,107 @@ def make_mug_sdf(res: int = 64) -> np.ndarray:
     on the subtraction seam, which a 64^3 voxelization smooths below the
     march threshold.  Thin rim + interior wall produce a heavy graze band.
     """
+    return make_mug_family_sdf(res)
+
+
+def make_mug_family_sdf(
+    res: int = 64,
+    *,
+    body_radius: float = 0.52,
+    body_half_height: float = 0.55,
+    wall: float = 0.08,
+    bottom: float = 0.08,
+    taper: float = 0.0,
+    handle_ring: float = 0.28,
+    handle_tube: float = 0.07,
+    handle_y: float = 0.05,
+    handle_gap: float = 0.10,
+) -> np.ndarray:
+    """Parameterized mug-family SDF on a [-1, 1]^3 grid.
+
+    The shape family behind the procedural training data (the environment
+    ships no ShapeNet, so the "trained on this framework" demonstration
+    trains on grids from this generator — the same role
+    ``process_shapenet``-converted meshes play for the reference,
+    /root/reference/sdfest/vae/scripts/process_shapenet.py).  Defaults
+    reproduce the benchmark mug of :func:`make_mug_sdf` exactly.
+
+    Parameters
+    ----------
+    body_radius: outer radius of the vessel at its mid-height.
+    body_half_height: half-height of the vessel.
+    wall: wall thickness (cavity radius = ``body_radius - wall``).
+    bottom: upward shift of the cavity; sets the base thickness and keeps
+        the top open (the cavity protrudes past the rim).
+    taper: relative radius change from bottom to top (0 = straight;
+        0.1 = top 10% wider).  Applied to body and cavity so the wall
+        thickness stays ~constant; the radial field is then a distance
+        bound tight to ~cos(slant) (<1% for taper <= 0.2).
+    handle_ring / handle_tube: torus major/minor radius of the handle.
+    handle_y: vertical offset of the handle center.
+    handle_gap: gap between the body surface and the handle ring center
+        minus ring radius (ring center x = body_radius + handle_gap).
+    """
     c = np.linspace(-1.0, 1.0, res)
     x, y, z = np.meshgrid(c, c, c, indexing="ij")
 
     def capped_cylinder(px, py, pz, radius, half_h):
-        # exact SDF of a z-capped cylinder aligned with y
+        # capped cylinder aligned with y; ``radius`` may vary with y
+        # (taper), making the radial term a tight distance bound
         d_r = np.sqrt(px * px + pz * pz) - radius
         d_y = np.abs(py) - half_h
         outside = np.sqrt(np.maximum(d_r, 0.0) ** 2 + np.maximum(d_y, 0.0) ** 2)
         inside = np.minimum(np.maximum(d_r, d_y), 0.0)
         return outside + inside
 
-    body = capped_cylinder(x, y, z, 0.52, 0.55)
-    cavity = capped_cylinder(x, y - 0.08, z, 0.44, 0.55)
+    # linear taper: radius(y) interpolates body_radius*(1 -/+ taper/2)
+    # from bottom to top
+    r_scale = 1.0 + taper * (y / (2.0 * body_half_height))
+    body = capped_cylinder(x, y, z, body_radius * r_scale, body_half_height)
+    cavity = capped_cylinder(
+        x, y - bottom, z, (body_radius - wall) * r_scale, body_half_height
+    )
     vessel = np.maximum(body, -cavity)
 
-    # torus handle in the x-y plane, attached at x ~ 0.52
-    tx, ty = x - 0.62, y - 0.05
-    ring = np.sqrt(tx * tx + ty * ty) - 0.28
-    handle = np.sqrt(ring * ring + z * z) - 0.07
+    # torus handle in the x-y plane, attached at the body surface
+    tx, ty = x - (body_radius + handle_gap), y - handle_y
+    ring = np.sqrt(tx * tx + ty * ty) - handle_ring
+    handle = np.sqrt(ring * ring + z * z) - handle_tube
 
     return np.minimum(vessel, handle).astype(np.float32)
+
+
+# sampling bounds of the procedural mug family (kept inside the grid:
+# max body_radius + handle_gap + handle_ring + handle_tube < 1.0)
+MUG_FAMILY_BOUNDS = {
+    "body_radius": (0.40, 0.56),
+    "body_half_height": (0.42, 0.62),
+    "wall": (0.055, 0.11),
+    "bottom": (0.05, 0.14),
+    "taper": (-0.12, 0.18),
+    "handle_ring": (0.20, 0.30),
+    "handle_tube": (0.05, 0.09),
+    "handle_y": (-0.08, 0.12),
+    "handle_gap": (0.04, 0.12),
+}
+
+
+def sample_mug_family(rng: np.random.Generator) -> dict:
+    """Draw uniform mug-family parameters within :data:`MUG_FAMILY_BOUNDS`.
+
+    The handle extent is re-clamped so the full shape stays inside the
+    [-1, 1]^3 grid with a ~2-voxel margin at 64^3.
+    """
+    params = {
+        k: float(rng.uniform(lo, hi)) for k, (lo, hi) in MUG_FAMILY_BOUNDS.items()
+    }
+    max_x = 0.94
+    overhang = (
+        params["body_radius"]
+        + params["handle_gap"]
+        + params["handle_ring"]
+        + params["handle_tube"]
+    )
+    if overhang > max_x:
+        params["handle_ring"] -= overhang - max_x
+    return params

@@ -189,3 +189,60 @@ def test_sdf_dataset_loader(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         SDFDataset(str(tmp_path / "empty"))
+
+
+# ---------------------------------------------------------------------------
+# procedural mug-family generator + dataset CLI (training-demo data source)
+
+
+def test_mug_family_default_matches_benchmark_mug():
+    from sdfest_tpu.utils.scenes import make_mug_family_sdf, make_mug_sdf
+
+    np.testing.assert_array_equal(make_mug_sdf(32), make_mug_family_sdf(32))
+
+
+def test_mug_family_samples_are_valid_sdfs():
+    from sdfest_tpu.utils.scenes import (
+        MUG_FAMILY_BOUNDS,
+        make_mug_family_sdf,
+        sample_mug_family,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        params = sample_mug_family(rng)
+        for k, v in params.items():
+            lo, hi = MUG_FAMILY_BOUNDS[k]
+            assert lo - 0.15 <= v <= hi + 1e-9, (k, v)
+        sdf = make_mug_family_sdf(32, **params)
+        assert sdf.shape == (32, 32, 32)
+        assert np.isfinite(sdf).all()
+        # hollow object: interior (negative) and exterior (positive) present
+        assert (sdf < 0).any() and (sdf > 0).any()
+        # the shape stays inside the grid: the boundary shell is all outside
+        shell = np.concatenate([
+            sdf[0].ravel(), sdf[-1].ravel(), sdf[:, 0].ravel(),
+            sdf[:, -1].ravel(), sdf[:, :, 0].ravel(), sdf[:, :, -1].ravel(),
+        ])
+        assert (shell > 0).all()
+
+
+def test_make_procedural_dataset_roundtrip(tmp_path):
+    from sdfest_tpu.datasets.sdf_dataset import SDFDataset
+    from sdfest_tpu.scripts.make_procedural_dataset import generate
+
+    out = str(tmp_path / "mugs")
+    params = generate(out, n=4, res=16, seed=7)
+    assert len(params) == 4
+    ds = SDFDataset(out)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item.shape == (1, 16, 16, 16) and item.dtype == np.float32
+    batch = next(ds.batches(2, shuffle=True, seed=0))
+    assert batch.shape == (2, 1, 16, 16, 16)
+    # deterministic from the seed
+    out2 = str(tmp_path / "mugs2")
+    generate(out2, n=4, res=16, seed=7)
+    np.testing.assert_array_equal(
+        np.load(out + "/00002.npy"), np.load(out2 + "/00002.npy")
+    )
