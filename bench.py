@@ -330,6 +330,29 @@ def main():
                 pc_vals, pmask2
             )
 
+        # coarse phase WITH its stride-scaled ROI (the shipped production
+        # composition, pipeline._roi_for(depth_coarse, factor): ROI sizes
+        # and wander margin scale by 1/stride, the crop render stays an
+        # exact crop of the strided render)
+        roi_c = (roi[0] // 2, roi[1] // 2)
+        roi_off_c = _roi_offset_for(target2, roi_c)
+        target2_roi = jax.lax.dynamic_slice(
+            target2, (roi_off_c[0], roi_off_c[1]), roi_c
+        )
+        points2_roi, pmask2_roi = pointset.depth_to_pointcloud_dense(
+            target2_roi, cam2, order="tile", pixel_offset=roi_off_c
+        )
+
+        def loss_fn2_roi(p, q, s):
+            est, pc_vals = render_depth_with_pc_values(
+                mug, p, q, s, points2_roi, pmask2_roi, camera=cam2,
+                threshold=0.005, backend=backend, roi=roi_c,
+                roi_offset=roi_off_c,
+            )
+            return L.depth_l1_loss(
+                target2_roi, est
+            ) + 3.0 * L.masked_mean_abs(pc_vals, pmask2_roi)
+
     def _timed_schedule(name, coarse_fn, fine_fn):
         """Time a two-phase schedule with the standard sweep discipline."""
 
@@ -366,11 +389,12 @@ def main():
     )
 
     # production fast path (configs/estimation/fast.yaml): multires coarse
-    # phase + ROI fine phase — the schedule a deployment runs
+    # phase (with its stride-scaled ROI) + ROI fine phase — the schedule a
+    # deployment runs
     def _production_stage():
         return _timed_schedule(
             "production",
-            make_refine(loss_fn2, n_coarse),
+            make_refine(loss_fn2_roi, n_coarse),
             make_refine(loss_fn_roi, n_fine),
         )
 
@@ -383,17 +407,32 @@ def main():
     # compiled-gradient parity (every driver run): the fused render+pc VJP
     # the production loss differentiates must match the XLA oracle's
     # analytic gradients on the bench pose — forward parity alone cannot
-    # catch a rotted backward kernel.  Normalized per-component deltas
-    # (tolerance class of tests/test_pallas.py::
-    # test_api_render_pallas_gradients_match_xla, widened for the
-    # culling/adaptive stepping noise of the production march which that
-    # test disables).
+    # catch a rotted backward kernel.  Two comparisons:
+    #   * deterministic march (culling/adaptive/bf16 off on BOTH paths, the
+    #     configuration of tests/test_pallas.py::
+    #     test_api_render_pallas_gradients_match_xla): all four cotangent
+    #     channels at fp32 tolerances — the rot detector for the VJP
+    #     machinery itself.
+    #   * production march (defaults): pose/quaternion/scale channels with
+    #     a stepping-noise allowance.  The sdf-grid cotangent is excluded
+    #     there by design: culling/adaptive relaxation legitimately lands
+    #     graze hits a band-width away from the oracle's, so the trilinear
+    #     scatter deposits onto neighboring voxels (measured ~0.14
+    #     normalized, pure stepping noise while pose channels agree to
+    #     <1e-2) — a per-voxel comparison across differently-stepped
+    #     marches does not measure kernel rot.
     def _grad_parity_stage():
-        def make_loss(bk):
+        def make_loss(bk, exact):
+            kw = (
+                dict(culling=False, adaptive=False, bf16=False)
+                if exact
+                else {}
+            )
+
             def lf(p, q, s, sdf):
                 est, pc_vals = render_depth_with_pc_values(
                     sdf, p, q, s, points, pmask, camera=camera,
-                    threshold=0.005, backend=bk,
+                    threshold=0.005, backend=bk, **kw,
                 )
                 return L.depth_l1_loss(target, est) + 3.0 * L.masked_mean_abs(
                     pc_vals, pmask
@@ -401,20 +440,30 @@ def main():
             return lf
 
         wrt = (0, 1, 2, 3)
+        names = ("position", "quaternion", "scale", "sdf")
         gargs = (s0["p"], s0["q"], s0["scale"], mug)
-        g_pl = jax.jit(jax.grad(make_loss(backend), argnums=wrt))(*gargs)
-        g_xla = jax.jit(jax.grad(make_loss("xla"), argnums=wrt))(*gargs)
         deltas = {}
-        for name, a, b in zip(
-            ("position", "quaternion", "scale", "sdf"), g_xla, g_pl
+        for mode, exact, tol, chans in (
+            ("exact", True, 1e-2, names),
+            ("production", False, 5e-2, names[:3]),
         ):
-            a, b = np.asarray(a), np.asarray(b)
-            scale_ = max(float(np.abs(a).max()), 1e-6)
-            deltas[name] = round(
-                float(np.abs(a - b).max() / scale_), 6
-            )
-        worst = max(deltas.values())
-        assert worst < 5e-2, f"fused-VJP gradient parity broke: {deltas}"
+            g_pl = jax.jit(
+                jax.grad(make_loss(backend, exact), argnums=wrt)
+            )(*gargs)
+            g_xla = jax.jit(
+                jax.grad(make_loss("xla", exact), argnums=wrt)
+            )(*gargs)
+            for name, a, b in zip(names, g_xla, g_pl):
+                if name not in chans:
+                    continue
+                a, b = np.asarray(a), np.asarray(b)
+                scale_ = max(float(np.abs(a).max()), 1e-6)
+                d = float(np.abs(a - b).max() / scale_)
+                deltas[f"{mode}_{name}"] = round(d, 6)
+                assert d < tol, (
+                    f"fused-VJP gradient parity broke "
+                    f"({mode}/{name}: {d} >= {tol}): {deltas}"
+                )
         return deltas
 
     grad_parity = (
@@ -466,7 +515,7 @@ def main():
             "q": jnp.tile(s0["q"], (n_hyp, 1)),
             "scale": jnp.full((n_hyp,), float(true_s) * 1.1),
         }
-        coarse_fn = make_refine(loss_fn2, n_coarse)
+        coarse_fn = make_refine(loss_fn2_roi, n_coarse)
         fine_fn = make_refine(loss_fn_roi, n_fine)
 
         def one(state):
