@@ -124,13 +124,24 @@ class Trainer:
         )
 
     def _create_multi_data_loader(self) -> MultiDataLoader:
+        # zero-probability datasets are never sampled — skip construction
+        # so configs mixing in disabled real-data loaders (e.g. the
+        # generated-only demonstration recipes) run without the NOCS /
+        # Redwood directory trees present
         loaders, probabilities = [], []
         for name, spec in self._init_config["datasets"].items():
+            p = spec.get("probability", 1.0)
+            if p <= 0.0:
+                continue
             loaders.append(self._create_dataset(name, spec))
-            probabilities.append(spec.get("probability", 1.0))
+            probabilities.append(p)
         return MultiDataLoader(loaders, probabilities)
 
     def _create_validation_loaders(self) -> Dict[str, object]:
+        # validation_iteration 0 disables validation entirely — skip loader
+        # construction for the same reason as zero-probability datasets
+        if not self._init_config.get("validation_iteration", 0):
+            return {}
         validation = {}
         for name, spec in self._init_config.get("validation_datasets", {}).items():
             validation[name] = self._create_dataset(name, spec)
