@@ -808,18 +808,46 @@ class SDFPipeline:
         h, w = self.camera.height, self.camera.width
         if h % factor or w % factor or self.camera.s != 0.0:
             return None
-        from sdfest_tpu.render import resolve_backend
-        from sdfest_tpu.render.pallas_kernel import TILE
-
-        if resolve_backend(
-            self.config.get("renderer_backend", "auto")
-        ) == "pallas" and ((h // factor) % TILE or (w // factor) % TILE):
+        if self._strided_needs_roi(factor) and not self.config.get("roi_size"):
+            # an unaligned strided raster stays on the kernel path only via
+            # a TILE-aligned refinement window; without the ROI policy the
+            # coarse phase would silently fall to the XLA march
             return None
         # the final phase always runs at full resolution
         n = min(n, int(self.config["max_iterations"]) - 1)
         if n <= 0:
             return None
         return factor, n
+
+    def _strided_needs_roi(self, factor: int) -> bool:
+        """Whether the ``factor``-strided raster is off the kernel's tiled
+        full-frame path (so the coarse phase must render an aligned ROI)."""
+        from sdfest_tpu.render import resolve_backend
+        from sdfest_tpu.render.pallas_kernel import TILE
+
+        if resolve_backend(
+            self.config.get("renderer_backend", "auto")
+        ) != "pallas":
+            return False
+        h, w = self.camera.height, self.camera.width
+        return bool((h // factor) % TILE or (w // factor) % TILE)
+
+    def _coarse_phase(self, depth_images: jax.Array, factor: int):
+        """Per-call coarse-phase inputs ``(depth, points, masks, roi)``.
+
+        Returns None when the phase is not viable for THESE inputs: the
+        strided raster is unaligned (kernel ROI required) and the observed
+        object does not fit any aligned ROI candidate — running the coarse
+        phase through the XLA fallback march would cost far more than it
+        saves, so the caller skips straight to the full-resolution phase.
+        """
+        depth_coarse, points_c, point_masks_c = self._multires_inputs(
+            depth_images, factor
+        )
+        roi_c = self._roi_for(depth_coarse, factor)
+        if roi_c is None and self._strided_needs_roi(factor):
+            return None
+        return depth_coarse, points_c, point_masks_c, roi_c
 
     def _use_temporal_coherence(self) -> bool:
         """Whether refinement renders can use warm-started marching."""
@@ -988,14 +1016,14 @@ class SDFPipeline:
         fine_iters = None
         if multires is not None:
             factor, coarse_iters = multires
-            depth_coarse, points_c, point_masks_c = self._multires_inputs(
-                depth_images, factor
-            )
             # the coarse phase composes with a (stride-scaled) ROI as well:
             # its raster-proportional costs shrink the same way the fine
             # phase's do, and the crop render is still exactly a crop of
             # the strided render
-            roi_c = self._roi_for(depth_coarse, factor)
+            phase = self._coarse_phase(depth_images, factor)
+            multires = multires if phase is not None else None
+        if multires is not None:
+            depth_coarse, points_c, point_masks_c, roi_c = phase
             state, _, coarse_log = self._refine(
                 state,
                 depth_coarse,
@@ -1176,9 +1204,10 @@ class SDFPipeline:
                     "full-resolution iteration "
                     f"(got {coarse_iters} >= {self.config['max_iterations']})"
                 )
-            depth_coarse, points_c, point_masks_c = self._multires_inputs(
-                depth_images, factor
-            )
+            phase = self._coarse_phase(depth_images, factor)
+            multires = multires if phase is not None else None
+        if multires is not None:
+            depth_coarse, points_c, point_masks_c, roi_c = phase
             refine_coarse = functools.partial(
                 self._refine,
                 depth_images=depth_coarse,
@@ -1187,7 +1216,7 @@ class SDFPipeline:
                 camera_positions=camera_positions,
                 camera_orientations=camera_orientations,
                 shape_optimization=shape_optimization,
-                roi=self._roi_for(depth_coarse, factor),
+                roi=roi_c,
                 ds_factor=factor,
                 num_iterations=coarse_iters,
                 allow_early_stop=False,
@@ -1263,9 +1292,10 @@ class SDFPipeline:
                     "full-resolution iteration "
                     f"(got {coarse_iters} >= {fine_iters})"
                 )
-            depth_coarse, points_c, point_masks_c = self._multires_inputs(
-                depth_images, factor
-            )
+            phase = self._coarse_phase(depth_images, factor)
+            multires = multires if phase is not None else None
+        if multires is not None:
+            depth_coarse, points_c, point_masks_c, roi_c = phase
             refine_coarse = functools.partial(
                 self._refine,
                 depth_images=depth_coarse,
@@ -1274,7 +1304,7 @@ class SDFPipeline:
                 camera_positions=camera_positions,
                 camera_orientations=camera_orientations,
                 shape_optimization=shape_optimization,
-                roi=self._roi_for(depth_coarse, factor),
+                roi=roi_c,
                 ds_factor=factor,
                 num_iterations=coarse_iters,
                 allow_early_stop=False,

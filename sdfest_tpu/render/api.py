@@ -141,15 +141,22 @@ def _normalize_roi(roi, roi_offset):
     return roi, offset
 
 
-def _pallas_capable(sdf, camera) -> bool:
-    """Whether the Mosaic kernels support this grid + raster."""
+def _pallas_capable(sdf, camera, kernel_roi=None) -> bool:
+    """Whether the Mosaic kernels support this grid + raster.
+
+    A TILE-aligned ``kernel_roi`` lifts the full-raster alignment
+    requirement: the kernel then renders only the ROI crop (its ray
+    directions are a dynamic slice of the full camera's planes, which
+    exist for any raster size), so e.g. a ``camera.strided(4)`` 160x120
+    coarse raster stays on the kernel path as long as the refinement
+    window is aligned."""
     from sdfest_tpu.render.pallas_kernel import RES, TILE
 
-    return (
-        sdf.shape[-1] == RES
-        and camera.height % TILE == 0
-        and camera.width % TILE == 0
-    )
+    if sdf.shape[-1] != RES:
+        return False
+    if kernel_roi is not None:
+        return True
+    return camera.height % TILE == 0 and camera.width % TILE == 0
 
 
 def _kernel_roi(roi):
@@ -417,8 +424,8 @@ def render_depth_with_pc_values(
     backend = resolve_backend(backend)
     inv_scale = 1.0 / scale
     roi, roi_offset = _normalize_roi(roi, roi_offset)
-    if backend == "pallas" and _pallas_capable(sdf, camera):
-        kroi = _kernel_roi(roi)
+    kroi = _kernel_roi(roi)
+    if backend == "pallas" and _pallas_capable(sdf, camera, kroi):
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
             bool(culling), bool(bf16), bool(adaptive), kroi,
@@ -576,10 +583,10 @@ def render_depth(
     elif None not in (width, height, fov_deg):
         raise ValueError("Either camera or width+height+fov_deg must be given.")
     roi, roi_offset = _normalize_roi(roi, roi_offset)
-    if backend == "pallas" and not _pallas_capable(sdf, camera):
+    kroi = _kernel_roi(roi)
+    if backend == "pallas" and not _pallas_capable(sdf, camera, kroi):
         backend = "xla"  # kernel constraints unmet; use the generic path
     if backend == "pallas":
-        kroi = _kernel_roi(roi)
         static = (
             camera, float(threshold), int(max_steps), float(relaxation),
             bool(culling), bool(bf16), bool(adaptive), kroi,

@@ -1549,6 +1549,10 @@ def _camera_ray_planes(camera: Camera):
     dy = -(rows + 0.5 - cy) / fy
     inv = 1.0 / np.sqrt(dx * dx + dy * dy + 1.0)
     d = np.stack([dx * inv, dy * inv, -inv], axis=-1).astype(np.float32)
+    if h % TILE or w % TILE:
+        # unaligned raster (legal for ROI renders, which tile a slice of
+        # ``d`` at runtime instead): no full-frame tiled planes exist
+        return d, None, None, None
     n_tiles = (h // TILE) * (w // TILE)
 
     def tile(plane):

@@ -499,3 +499,53 @@ def test_unaligned_roi_stays_on_pallas_full_frame_crop():
     np.testing.assert_array_equal(
         np.asarray(full)[7:22, 9:39], np.asarray(crop)
     )
+
+
+def test_unaligned_raster_aligned_roi_stays_on_kernel():
+    """A TILE-aligned ROI keeps a TILE-unaligned raster on the kernel path.
+
+    Enables e.g. ``camera.strided(4)`` coarse phases (640x480 -> 160x120,
+    120 % 16 != 0) as long as the refinement window is aligned.  Ray
+    directions depend only on pixel indices + intrinsics, so a camera with
+    extra rows/cols shares the rays of the overlapping region: the ROI
+    render on the unaligned 48x56 raster must be bitwise equal to the same
+    ROI on the aligned 48x64 superset raster.
+    """
+    from sdfest_tpu.render.api import _pallas_capable, render_depth
+
+    cam_u = Camera(width=56, height=48, fx=32, fy=32, cx=32, cy=24,
+                   pixel_center=0.5)
+    assert not _pallas_capable(SDF, cam_u)
+    assert _pallas_capable(SDF, cam_u, kernel_roi=(16, 32))
+    off = jnp.asarray([16, 16], jnp.int32)
+    got = render_depth(SDF, POSITION, QUAT, INV_SCALE, camera=cam_u,
+                       threshold=0.005, backend="pallas", roi=(16, 32),
+                       roi_offset=off)
+    want = render_depth(SDF, POSITION, QUAT, INV_SCALE, camera=CAM,
+                        threshold=0.005, backend="pallas", roi=(16, 32),
+                        roi_offset=off)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # fused render+pc gradients flow through the new path
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (256, 3),
+                             minval=-0.2, maxval=0.2,
+                             dtype=jnp.float32) + POSITION
+    pmask = jnp.ones((256,), jnp.float32)
+
+    def loss(pp):
+        d, v = api.render_depth_with_pc_values(
+            SDF, pp, QUAT, 1.0 / INV_SCALE, pts, pmask, camera=cam_u,
+            threshold=0.005, backend="pallas", roi=(16, 32), roi_offset=off,
+        )
+        return jnp.sum(d) + jnp.sum(v)
+
+    g = jax.grad(loss)(POSITION)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # without an aligned ROI the unaligned raster falls back to the xla
+    # march (same values as calling the xla backend directly)
+    fb = render_depth(SDF, POSITION, QUAT, INV_SCALE, camera=cam_u,
+                      threshold=0.005, backend="pallas")
+    want_fb = render_depth(SDF, POSITION, QUAT, INV_SCALE, camera=cam_u,
+                           threshold=0.005, backend="xla")
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(want_fb))

@@ -247,6 +247,36 @@ def test_multires_gating():
                               multires=(2, 4))
 
 
+def test_multires_unaligned_strided_raster_requires_roi():
+    """A factor whose strided raster is TILE-unaligned (here 4: 80x128 ->
+    20x32) is allowed on the pallas backend ONLY via the ROI policy: the
+    kernel then renders an aligned window of the strided raster.  Without
+    roi_size the coarse phase would silently fall to the XLA march, so
+    _multires_for disables it; per call, _coarse_phase skips the phase
+    when the observed object fits no aligned window."""
+    kwargs = dict(
+        max_iterations=4, multires_factor=4, multires_iterations=2,
+        renderer_backend="pallas",
+        camera={"width": 128, "height": 80, "fx": 64, "fy": 64,
+                "cx": 64, "cy": 40, "pixel_center": 0.5},
+    )
+    assert SDFPipeline(_config(**kwargs))._multires_for() is None
+    pipeline = SDFPipeline(_config(roi_size="auto", roi_margin=8, **kwargs))
+    assert pipeline._strided_needs_roi(4)
+    assert not pipeline._strided_needs_roi(1)
+    assert pipeline._multires_for() == (4, 2)
+    # per-call: a small object fits an aligned window -> phase viable
+    depth = np.zeros((1, 80, 128), np.float32)
+    depth[0, 36:44, 60:68] = 0.4
+    phase = pipeline._coarse_phase(jnp.asarray(depth), 4)
+    assert phase is not None
+    assert phase[3] is not None  # the aligned coarse ROI engaged
+    # an object filling the frame fits no aligned window -> phase skipped
+    big = np.zeros((1, 80, 128), np.float32)
+    big[0, 4:76, 4:124] = 0.4
+    assert pipeline._coarse_phase(jnp.asarray(big), 4) is None
+
+
 def test_coarse_roi_composes_exactly():
     """roi_size engages in BOTH phases of a multires schedule and leaves the
     trajectory exactly unchanged: crop renders are exact crops, the depth
