@@ -352,8 +352,15 @@ def test_early_stop_freezes_after_plateau(tmp_path):
     np.testing.assert_array_equal(log["loss"][last_active], log["loss"][-1])
 
 
-def test_early_stop_composes_with_multires(tmp_path):
-    """Each multires phase runs its own early-stop checkpoint chain."""
+def test_early_stop_composes_with_multires(tmp_path, no_persistent_cache):
+    """Each multires phase runs its own early-stop checkpoint chain.
+
+    ``no_persistent_cache``: the early-stop+multires scan programs hit the
+    same XLA:CPU ``deserialize_executable`` segfault as the chunked
+    ``_refine`` programs when loaded from the persistent cache in a
+    process that already holds many executables (full-suite order); see
+    the fixture docstring in conftest.py.
+    """
     import pickle
 
     config = _config(
