@@ -20,6 +20,19 @@ class MetricsLogger:
     def __init__(self, config: Dict[str, Any], run_name: str):
         self._tb = None
         self._wandb = None
+        self._csv = None
+        if config.get("scalar_csv"):
+            # plain-file sink for air-gapped runs: one `step,name,value`
+            # row per scalar, flushed per write so curves survive an
+            # interrupted run (the reference relies on wandb/tensorboard
+            # for this; deployments here frequently have neither)
+            import os
+
+            path = str(config["scalar_csv"])
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._csv = open(path, "a", buffering=1)
+            if self._csv.tell() == 0:
+                self._csv.write("step,name,value\n")
         if config.get("log_dir") is not None:
             try:
                 import os
@@ -51,9 +64,15 @@ class MetricsLogger:
     @property
     def active(self) -> bool:
         """Whether any sink is active."""
-        return self._tb is not None or self._wandb is not None
+        return (
+            self._tb is not None
+            or self._wandb is not None
+            or self._csv is not None
+        )
 
     def add_scalar(self, name: str, value: float, step: int) -> None:
+        if self._csv is not None:
+            self._csv.write(f"{step},{name},{value}\n")
         if self._tb is not None:
             self._tb.add_scalar(name, value, step)
         if self._wandb is not None:
@@ -66,6 +85,8 @@ class MetricsLogger:
             self._wandb.log({name: self._wandb.Image(figure)}, step=step)
 
     def close(self) -> None:
+        if self._csv is not None:
+            self._csv.close()
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:

@@ -209,6 +209,24 @@ def test_metrics_logger_tensorboard_sink(tmp_path):
     assert make_logger({}, "run3") is None
 
 
+def test_metrics_logger_csv_sink(tmp_path):
+    """scalar_csv writes plain step,name,value rows; reopening appends."""
+    from sdfest_tpu.utils.logging import make_logger
+
+    path = tmp_path / "curves" / "scalars.csv"
+    logger = make_logger({"scalar_csv": str(path)}, "run")
+    assert logger is not None and logger.active
+    logger.add_scalar("loss", 1.5, 20)
+    logger.add_scalar("kld", 0.25, 20)
+    logger.close()
+    logger = make_logger({"scalar_csv": str(path)}, "run")
+    logger.add_scalar("loss", 1.25, 40)
+    logger.close()
+    lines = path.read_text().strip().splitlines()
+    assert lines[0] == "step,name,value"
+    assert lines[1:] == ["20,loss,1.5", "20,kld,0.25", "40,loss,1.25"]
+
+
 def test_train_init_benchmark_steps(tmp_path, capsys):
     from sdfest_tpu.scripts.train_init import Trainer
 
