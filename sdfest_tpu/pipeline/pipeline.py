@@ -20,7 +20,7 @@ from __future__ import annotations
 import functools
 import pickle
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,23 @@ def _roi_offset_for(depth: jax.Array, roi: Tuple[int, int]) -> jax.Array:
     oy = jnp.clip((rmin + rmax + 1 - roi[0]) // 2, 0, h - roi[0])
     ox = jnp.clip((cmin + cmax + 1 - roi[1]) // 2, 0, w - roi[1])
     return jnp.stack([oy, ox]).astype(jnp.int32)
+
+
+def _normalize_multires(
+    multires: Optional[Union[Tuple[int, int], List[Tuple[int, int]]]],
+) -> List[Tuple[int, int]]:
+    """Multires schedule as a (possibly empty) list of (factor, iters).
+
+    Accepts the historical single-level tuple, a multi-level list
+    (coarsest first), or None (no coarse phase).
+    """
+    if multires is None:
+        return []
+    if isinstance(multires, tuple) and len(multires) == 2 and not isinstance(
+        multires[0], (tuple, list)
+    ):
+        return [multires]
+    return list(multires)
 
 
 class SDFPipeline:
@@ -781,43 +798,98 @@ class SDFPipeline:
         )(depth_coarse)
         return depth_coarse, points_c, point_masks_c
 
-    def _multires_for(self) -> Optional[Tuple[int, int]]:
-        """Resolve the coarse-to-fine schedule ``(factor, coarse_iters)``.
+    def _multires_for(
+        self,
+    ) -> Optional[Union[Tuple[int, int], List[Tuple[int, int]]]]:
+        """Resolve the coarse-to-fine schedule.
 
         Config ``multires_factor: f`` (int > 1) + ``multires_iterations: n``
-        (int > 0) opt in.  Falls back to single-phase (returns None) when
-        the stride does not divide the raster, when the strided raster
-        would knock the pallas backend off its tiled fast path (H/f or W/f
-        not a multiple of the march tile), when temporal coherence is on,
-        or when the camera has skew.  Both phases compose with the ROI
-        policy: the fine phase uses ``_roi_for(depth)`` and the coarse
-        phase ``_roi_for(depth_coarse, factor)`` (sizes and margin scaled
+        (int > 0) opt in to a single coarse level — returned as the tuple
+        ``(factor, coarse_iters)``.  ``multires_factor`` may also be a LIST
+        of strides (coarsest first, e.g. ``[4, 2]``), each level running
+        against its own exactly-strided sub-observation before the
+        full-resolution finish; then ``multires_iterations`` is a matching
+        list or ``auto``, and the schedule is returned as a list of
+        ``(factor, iters)`` tuples (measured on v5e-1: the ``[4, 2]``
+        auto schedule runs ~1.5x the two-phase production rate at equal
+        budget and convergence; NOTES.md round-3).
+
+        ``auto`` split policy: 60% of the budget at the single coarse
+        level, or 80% split evenly across a multi-level schedule (the
+        bench's 20/20/10 shape at 50 iterations).
+
+        Falls back to single-phase (returns None) — or drops the affected
+        level of a multi-level schedule — when the stride does not divide
+        the raster, when the strided raster would knock the pallas backend
+        off its tiled fast path (H/f or W/f not a multiple of the march
+        tile) without an ROI policy to re-align it, when temporal coherence
+        is on, or when the camera has skew.  Every level composes with the
+        ROI policy: the fine phase uses ``_roi_for(depth)`` and each coarse
+        level ``_roi_for(depth_coarse, factor)`` (sizes and margin scaled
         by the stride).
         """
-        factor = int(self.config.get("multires_factor", 1) or 1)
+        f_cfg = self.config.get("multires_factor", 1) or 1
         n_cfg = self.config.get("multires_iterations", 0)
+        is_schedule = isinstance(f_cfg, (list, tuple))
+        factors = [int(f) for f in (f_cfg if is_schedule else [f_cfg])]
+        if self._use_temporal_coherence() or self.camera.s != 0.0:
+            return None
+        max_iterations = int(self.config["max_iterations"])
         if n_cfg == "auto":
-            # 60% of the budget at coarse: the estimate is far from
-            # converged for most of the trajectory, and the remaining 40%
-            # at full resolution is ample polish (bench schedule)
-            n = (int(self.config["max_iterations"]) * 3) // 5
+            if is_schedule:
+                n_levels = max(len(factors), 1)
+                iters = [
+                    (max_iterations * 4) // (5 * n_levels)
+                ] * n_levels
+            else:
+                # 60% of the budget at coarse: the estimate is far from
+                # converged for most of the trajectory, and the remaining
+                # 40% at full resolution is ample polish (bench schedule)
+                iters = [(max_iterations * 3) // 5]
+        elif isinstance(n_cfg, (list, tuple)):
+            if not is_schedule or len(n_cfg) != len(factors):
+                raise ValueError(
+                    "multires_iterations list must match multires_factor "
+                    f"({n_cfg} vs {f_cfg})"
+                )
+            iters = [int(n) for n in n_cfg]
         else:
-            n = int(n_cfg or 0)
-        if factor <= 1 or n <= 0 or self._use_temporal_coherence():
-            return None
+            if is_schedule:
+                raise ValueError(
+                    "multires_factor is a schedule; multires_iterations "
+                    "must be a matching list or 'auto'"
+                )
+            iters = [int(n_cfg or 0)]
+        if is_schedule and sum(iters) > max_iterations - 1:
+            raise ValueError(
+                "multires schedule must leave at least one full-resolution "
+                f"iteration (sum {sum(iters)} >= {max_iterations})"
+            )
+
         h, w = self.camera.height, self.camera.width
-        if h % factor or w % factor or self.camera.s != 0.0:
+        levels = []
+        for factor, n in zip(factors, iters):
+            if factor <= 1 or n <= 0:
+                continue
+            if h % factor or w % factor:
+                continue
+            if self._strided_needs_roi(factor) and not self.config.get(
+                "roi_size"
+            ):
+                # an unaligned strided raster stays on the kernel path only
+                # via a TILE-aligned refinement window; without the ROI
+                # policy the level would silently fall to the XLA march
+                continue
+            levels.append((factor, n))
+        if not levels:
             return None
-        if self._strided_needs_roi(factor) and not self.config.get("roi_size"):
-            # an unaligned strided raster stays on the kernel path only via
-            # a TILE-aligned refinement window; without the ROI policy the
-            # coarse phase would silently fall to the XLA march
-            return None
-        # the final phase always runs at full resolution
-        n = min(n, int(self.config["max_iterations"]) - 1)
-        if n <= 0:
-            return None
-        return factor, n
+        if not is_schedule:
+            # single-level config keeps the historical tuple form; the
+            # final phase always runs at full resolution
+            factor, n = levels[0]
+            n = min(n, max_iterations - 1)
+            return (factor, n) if n > 0 else None
+        return levels
 
     def _strided_needs_roi(self, factor: int) -> bool:
         """Whether the ``factor``-strided raster is off the kernel's tiled
@@ -1005,26 +1077,27 @@ class SDFPipeline:
             "scale": scale,
             "latent": latent,
         }
-        # coarse-to-fine: run the first iterations against the strided
-        # sub-observation (identical rays, ~1/f^2 the active march tiles),
-        # then finish at full resolution.  Best-inlier tracking runs over
-        # the fine phase only (coarse-raster inlier ratios are not
-        # comparable with full-raster ones); the coarse result hands over
-        # via the running state.
-        multires = self._multires_for()
-        coarse_log = None
-        fine_iters = None
-        if multires is not None:
-            factor, coarse_iters = multires
-            # the coarse phase composes with a (stride-scaled) ROI as well:
-            # its raster-proportional costs shrink the same way the fine
-            # phase's do, and the crop render is still exactly a crop of
-            # the strided render
+        # coarse-to-fine: run the first iterations against strided
+        # sub-observations (identical rays, ~1/f^2 the active march tiles
+        # per level), then finish at full resolution.  Best-inlier tracking
+        # runs over the fine phase only (coarse-raster inlier ratios are
+        # not comparable with full-raster ones); each level hands over via
+        # the running state.
+        coarse_logs = []
+        boundaries = []
+        executed = 0
+        for factor, n_iters in _normalize_multires(self._multires_for()):
+            # each coarse level composes with a (stride-scaled) ROI as
+            # well: its raster-proportional costs shrink the same way the
+            # fine phase's do, and the crop render is still exactly a crop
+            # of the strided render
             phase = self._coarse_phase(depth_images, factor)
-            multires = multires if phase is not None else None
-        if multires is not None:
+            if phase is None:
+                # level not viable for THESE inputs (object does not fit an
+                # aligned ROI): its budget folds into the remaining phases
+                continue
             depth_coarse, points_c, point_masks_c, roi_c = phase
-            state, _, coarse_log = self._refine(
+            state, _, lg = self._refine(
                 state,
                 depth_coarse,
                 points_c,
@@ -1035,9 +1108,14 @@ class SDFPipeline:
                 point_constraint,
                 roi_c,
                 factor,
-                coarse_iters,
+                n_iters,
             )
-            fine_iters = int(self.config["max_iterations"]) - coarse_iters
+            coarse_logs.append(lg)
+            executed += n_iters
+            boundaries.append(executed)
+        fine_iters = (
+            int(self.config["max_iterations"]) - executed if executed else None
+        )
         state, best, log = self._refine(
             state,
             depth_images,
@@ -1051,9 +1129,10 @@ class SDFPipeline:
             1,
             fine_iters,
         )
-        if coarse_log is not None:
+        if coarse_logs:
             log = {
-                k: jnp.concatenate([coarse_log[k], log[k]]) for k in log
+                k: jnp.concatenate([lg[k] for lg in coarse_logs] + [log[k]])
+                for k in log
             }
 
         if log_path is not None or animation_path is not None:
@@ -1062,10 +1141,12 @@ class SDFPipeline:
             # preprocessed inputs travel with the log so playback can
             # reproduce error images / input overlays without the dataset
             log_np["depth_input"] = np.asarray(depth_images)
-            if multires is not None:
-                # iterations before this index ran on the strided coarse
-                # observation (their losses reduce over fewer pixels)
-                log_np["multires_boundary"] = multires[1]
+            if executed:
+                # iterations before this index ran on strided coarse
+                # observations (their losses reduce over fewer pixels);
+                # ``multires_boundaries`` gives every level->level handover
+                log_np["multires_boundary"] = executed
+                log_np["multires_boundaries"] = boundaries
             data = {"config": _plain_config(self.config), "log": log_np}
             if log_path is not None:
                 with open(log_path, "wb") as f:
@@ -1167,11 +1248,12 @@ class SDFPipeline:
         data-parallel TPU meshes with zero cross-device communication.
         ``roi`` as in :meth:`_refine` (pass ``self._roi_for(depth_images)``
         to apply the config policy).  ``multires=(factor, coarse_iters)``
-        runs the coarse-to-fine schedule per hypothesis (pass
-        ``self._multires_for()`` for the config policy; the coarse phase
+        — or a list of such levels, coarsest first — runs the
+        coarse-to-fine schedule per hypothesis (pass
+        ``self._multires_for()`` for the config policy; each coarse level
         strides ``depth_images`` internally and composes its own
         stride-scaled ROI per the config policy); the
-        returned log concatenates both phases, covering the full
+        returned log concatenates all phases, covering the full
         ``max_iterations`` like :meth:`__call__`.
 
         The single-instance freeze-cond early stopping is NOT used here:
@@ -1194,37 +1276,13 @@ class SDFPipeline:
                 camera_positions, camera_orientations,
                 shape_optimization, roi, multires, early_delta,
             )
-        coarse_log = None
-        fine_iters = None
-        if multires is not None:
-            factor, coarse_iters = multires
-            if coarse_iters >= int(self.config["max_iterations"]):
-                raise ValueError(
-                    "multires coarse_iters must leave at least one "
-                    "full-resolution iteration "
-                    f"(got {coarse_iters} >= {self.config['max_iterations']})"
-                )
-            phase = self._coarse_phase(depth_images, factor)
-            multires = multires if phase is not None else None
-        if multires is not None:
-            depth_coarse, points_c, point_masks_c, roi_c = phase
-            refine_coarse = functools.partial(
-                self._refine,
-                depth_images=depth_coarse,
-                points=points_c,
-                point_masks=point_masks_c,
-                camera_positions=camera_positions,
-                camera_orientations=camera_orientations,
-                shape_optimization=shape_optimization,
-                roi=roi_c,
-                ds_factor=factor,
-                num_iterations=coarse_iters,
-                allow_early_stop=False,
-            )
-            states, _, coarse_log = jax.vmap(
-                lambda s: refine_coarse(s)
-            )(states)
-            fine_iters = int(self.config["max_iterations"]) - coarse_iters
+        states, coarse_logs, executed = self._run_coarse_levels_batched(
+            states, depth_images, camera_positions, camera_orientations,
+            shape_optimization, multires,
+        )
+        fine_iters = (
+            int(self.config["max_iterations"]) - executed if executed else None
+        )
         refine = functools.partial(
             self._refine,
             depth_images=depth_images,
@@ -1238,12 +1296,62 @@ class SDFPipeline:
             allow_early_stop=False,
         )
         final, best, log = jax.vmap(lambda s: refine(s))(states)
-        if coarse_log is not None:
+        if coarse_logs:
             log = {
-                k: jnp.concatenate([coarse_log[k], log[k]], axis=1)
+                k: jnp.concatenate(
+                    [lg[k] for lg in coarse_logs] + [log[k]], axis=1
+                )
                 for k in log
             }
         return final, best, log
+
+    def _run_coarse_levels_batched(
+        self,
+        states: Dict[str, jax.Array],
+        depth_images: jax.Array,
+        camera_positions: jax.Array,
+        camera_orientations: jax.Array,
+        shape_optimization: bool,
+        multires: Optional[Union[Tuple[int, int], List[Tuple[int, int]]]],
+    ):
+        """Run the (vmapped) coarse multires levels of a batched refinement.
+
+        Returns ``(states, per-level logs, executed coarse iterations)``;
+        levels not viable for these inputs are skipped (their budget folds
+        into the remaining phases, as in :meth:`__call__`).
+        """
+        schedule = _normalize_multires(multires)
+        max_iterations = int(self.config["max_iterations"])
+        if sum(n for _, n in schedule) >= max_iterations:
+            raise ValueError(
+                "multires schedule must leave at least one full-resolution "
+                f"iteration (got {schedule} for max_iterations="
+                f"{max_iterations})"
+            )
+        coarse_logs = []
+        executed = 0
+        for factor, n_iters in schedule:
+            phase = self._coarse_phase(depth_images, factor)
+            if phase is None:
+                continue
+            depth_coarse, points_c, point_masks_c, roi_c = phase
+            refine_coarse = functools.partial(
+                self._refine,
+                depth_images=depth_coarse,
+                points=points_c,
+                point_masks=point_masks_c,
+                camera_positions=camera_positions,
+                camera_orientations=camera_orientations,
+                shape_optimization=shape_optimization,
+                roi=roi_c,
+                ds_factor=factor,
+                num_iterations=n_iters,
+                allow_early_stop=False,
+            )
+            states, _, lg = jax.vmap(lambda s: refine_coarse(s))(states)
+            coarse_logs.append(lg)
+            executed += n_iters
+        return states, coarse_logs, executed
 
     def _refine_batch_adaptive(
         self,
@@ -1282,36 +1390,11 @@ class SDFPipeline:
                 "adaptive refine_batch and temporal_coherence are mutually "
                 "exclusive"
             )
-        logs = []
-        fine_iters = int(self.config["max_iterations"])
-        if multires is not None:
-            factor, coarse_iters = multires
-            if coarse_iters >= fine_iters:
-                raise ValueError(
-                    "multires coarse_iters must leave at least one "
-                    "full-resolution iteration "
-                    f"(got {coarse_iters} >= {fine_iters})"
-                )
-            phase = self._coarse_phase(depth_images, factor)
-            multires = multires if phase is not None else None
-        if multires is not None:
-            depth_coarse, points_c, point_masks_c, roi_c = phase
-            refine_coarse = functools.partial(
-                self._refine,
-                depth_images=depth_coarse,
-                points=points_c,
-                point_masks=point_masks_c,
-                camera_positions=camera_positions,
-                camera_orientations=camera_orientations,
-                shape_optimization=shape_optimization,
-                roi=roi_c,
-                ds_factor=factor,
-                num_iterations=coarse_iters,
-                allow_early_stop=False,
-            )
-            states, _, coarse_log = jax.vmap(lambda s: refine_coarse(s))(states)
-            logs.append(coarse_log)
-            fine_iters -= coarse_iters
+        states, logs, executed = self._run_coarse_levels_batched(
+            states, depth_images, camera_positions, camera_orientations,
+            shape_optimization, multires,
+        )
+        fine_iters = int(self.config["max_iterations"]) - executed
 
         def chunk_fn(s, o, b, n):
             return self._refine(

@@ -247,6 +247,71 @@ def test_multires_gating():
                               multires=(2, 4))
 
 
+def test_multires_schedule_config():
+    """multires_factor lists resolve to a coarsest-first level schedule."""
+    config = _config(max_iterations=50, multires_factor=[4, 2],
+                     multires_iterations="auto")
+    # auto: 80% of the budget split evenly across the levels (the
+    # measured-fastest 20/20/10 shape at 50 iterations)
+    assert SDFPipeline(config)._multires_for() == [(4, 20), (2, 20)]
+    config = _config(max_iterations=8, multires_factor=[4, 2],
+                     multires_iterations=[3, 2])
+    assert SDFPipeline(config)._multires_for() == [(4, 3), (2, 2)]
+    # a non-dividing stride drops ONLY its level
+    config = _config(max_iterations=8, multires_factor=[5, 2],
+                     multires_iterations=[3, 2])
+    assert SDFPipeline(config)._multires_for() == [(2, 2)]
+    # mismatched iteration list / scalar iterations with a schedule /
+    # over-budget schedules are config errors, not silent fallbacks
+    with pytest.raises(ValueError, match="must match"):
+        SDFPipeline(_config(multires_factor=[4, 2],
+                            multires_iterations=[3]))._multires_for()
+    with pytest.raises(ValueError, match="matching list"):
+        SDFPipeline(_config(multires_factor=[4, 2],
+                            multires_iterations=3))._multires_for()
+    with pytest.raises(ValueError, match="full-resolution"):
+        SDFPipeline(_config(max_iterations=5, multires_factor=[4, 2],
+                            multires_iterations=[3, 2]))._multires_for()
+
+
+def test_multires_schedule_end_to_end(tmp_path):
+    """A 3-phase [4, 2] schedule runs each level against its exactly
+    strided sub-observation and concatenates one full-budget log."""
+    import pickle
+
+    config = _config(
+        max_iterations=6, multires_factor=[4, 2],
+        multires_iterations=[2, 2],
+    )
+    pipeline = SDFPipeline(config)
+    depth, mask = _scene(pipeline)
+    log_path = str(tmp_path / "log.pkl")
+    position, orientation, scale, latent = pipeline(
+        depth, mask, log_path=log_path
+    )
+    assert bool(jnp.all(jnp.isfinite(position)))
+    with open(log_path, "rb") as f:
+        log = pickle.load(f)["log"]
+    assert log["loss"].shape[0] == 6
+    assert np.all(np.isfinite(log["loss"]))
+    assert log["multires_boundary"] == 4
+    assert log["multires_boundaries"] == [2, 4]
+
+
+def test_refine_batch_multires_schedule():
+    """refine_batch composes the multi-level schedule per hypothesis."""
+    config = _config(max_iterations=5, multires_factor=[4, 2],
+                     multires_iterations=[2, 1])
+    pipeline = SDFPipeline(config)
+    states, views = _batch_inputs(pipeline)
+    final, best, log = pipeline.refine_batch(
+        states, *views, multires=pipeline._multires_for()
+    )
+    assert log["loss"].shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(log["loss"])))
+    assert bool(jnp.all(jnp.isfinite(final["position"])))
+
+
 def test_multires_unaligned_strided_raster_requires_roi():
     """A factor whose strided raster is TILE-unaligned (here 4: 80x128 ->
     20x32) is allowed on the pallas backend ONLY via the ROI policy: the
