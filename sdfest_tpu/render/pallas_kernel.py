@@ -133,6 +133,17 @@ _OMEGA_INIT = float(_os.environ.get("SDFEST_OMEGA_INIT", 1.4))
 _OMEGA_GROW = float(_os.environ.get("SDFEST_OMEGA_GROW", 0.2))
 _OMEGA_MAX = float(_os.environ.get("SDFEST_OMEGA_MAX", 1.9))
 NC = int(_os.environ.get("SDFEST_NC", 16))  # coarse culling grid resolution per axis
+# Second-level mid-resolution bound table (measured A/B, v5e-1 640x480
+# 16-pose sweep): the coarse branch's bound-refresh steps look up an
+# NCM^3 min-pool table instead of the NC^3 one — 2x finer bounds in the
+# near field, so approaching rays take up to 2x longer certified steps
+# before flipping to fine sampling.  The every-iteration DECIDE lookup
+# stays at NC=16: widening THAT to 32 regressed the mug render 12.3 ->
+# 16.1 ms (the (Q, nc^2) one-hot build is on the critical path of every
+# iteration), while the refresh-only mid lookup rides the coarse branch
+# only.  Default set by the same A/B (see NOTES.md).
+NCM = int(_os.environ.get("SDFEST_NCM", 32))
+_MIDLEVEL = _os.environ.get("SDFEST_MIDLEVEL", "0") == "1"
 # conservative slack subtracted from the coarse min-pool: covers fp noise and
 # the (clamped) linear extrapolation just outside the volume boundary
 _COARSE_MARGIN = 1e-4
@@ -587,6 +598,7 @@ def _obb_interval_tile(dirs_o: jax.Array, origin_o: jax.Array, scale):
 def _march_kernel_body(
     tt_ref,
     ttc_ref,  # (nc^2, nc) coarse culling table (used when culling)
+    ttm_ref,  # (NCM^2, 2*NCM) mid-level bound table (dummy unless _MIDLEVEL)
     ttz_ref,  # (NVZ*res*WZ, res) shifted z-band table (v2 yz-window tier)
     dx_ref,  # (1, Q, 1) camera-frame ray direction x (camera-constant)
     dy_ref,  # (1, Q, 1) camera-frame ray direction y (camera-constant)
@@ -1116,12 +1128,19 @@ def _march_kernel_body(
                 # iteration's fine/coarse decision (no hits ever happen
                 # here, so no t_max re-check is needed).  A bound step is a
                 # certified plain step, so it restarts the overstep chain.
+                # Bound REFRESHES use the mid-level table when enabled
+                # (finer cells -> longer certified steps in the near
+                # field); the decide's lookup stays at NC (see NCM note).
+                mid_ref, mid_nc = (
+                    (ttm_ref, NCM) if _MIDLEVEL else (ttc_ref, NC)
+                )
                 if _STALE or _DECIDE_EVERY > 1:
                     # the carried decision chose this branch; the bound
                     # itself must be fresh (a stale bound is not safe to
                     # step by after the rays have moved)
                     p = (origin_o + t * dirs_o) * inv_scale
-                    cd0, _ = _coarse_lookup(ttc_ref, p, NC, need_max=False)
+                    cd0, _ = _coarse_lookup(mid_ref, p, mid_nc,
+                                            need_max=False)
                     cd0 = cd0 * scale
                 else:
                     cd0 = cd
@@ -1130,7 +1149,8 @@ def _march_kernel_body(
                 dec = decide(t, active)[:3] if _STALE else ()
                 for _ in range(_UNROLL_COARSE - 1):
                     p = (origin_o + t * dirs_o) * inv_scale
-                    cd2, _ = _coarse_lookup(ttc_ref, p, NC, need_max=False)
+                    cd2, _ = _coarse_lookup(mid_ref, p, mid_nc,
+                                            need_max=False)
                     cd2 = cd2 * scale
                     far = jnp.where(cd2 >= threshold * t + 1e-5, 1.0, 0.0)
                     t = jnp.where(active * far > 0.0, t + cd2, t)
@@ -1748,6 +1768,16 @@ def _render_fwd_impl(
         if culling
         else jnp.zeros((NC * NC, 2 * NC), dtype)
     )
+    # mid-level bound table for the coarse branch's refresh steps (only the
+    # default v2 culling march consumes it; other variants get the dummy)
+    use_mid = (
+        _MIDLEVEL and culling and relaxation <= 1.0 and not aux and not bf16
+    )
+    table_m = (
+        coarse_min_table(sdf, NCM)
+        if use_mid
+        else jnp.zeros((8, 8), dtype)
+    )
     # shifted z-band table for the v2 yz-window tier (dummy when unused)
     use_zwin = bool(_ZWIN) and culling and relaxation <= 1.0 and not bf16
     table_z = (
@@ -1799,6 +1829,8 @@ def _render_fwd_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NC * NC, 2 * NC), lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_m.shape, lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(table_z.shape, lambda t, s: (0, 0),
                          memory_space=pltpu.VMEM),
             tile_spec,
@@ -1826,6 +1858,7 @@ def _render_fwd_impl(
         sprefetch,
         table,
         table_c,
+        table_m,
         table_z,
         dx_t,
         dy_t,

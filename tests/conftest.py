@@ -99,6 +99,22 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_executables_between_modules():
+    """Drop compiled executables at module teardown.
+
+    XLA:CPU natively CRASHES (segfault, not an exception) compiling or
+    deserializing further scan programs once the process holds many
+    compiled executables — the full suite reproducibly dies ~60% in
+    (test_pipeline_options) while every affected test passes standalone.
+    Clearing jit caches between modules keeps the live-executable count
+    bounded; recompiles within a later module are served by the
+    persistent on-disk cache at ~1 s each, so the suite stays fast.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def no_persistent_cache():
     """Bypass the persistent compilation cache for one test.

@@ -367,9 +367,38 @@ def test_coarse_roi_composes_exactly():
         )
 
 
-def test_multires_converges_like_single_phase():
+def test_multires_converges_like_single_phase(no_persistent_cache):
     """The strided coarse phase must not hurt final accuracy (same
-    optimization problem on a pixel subset)."""
+    optimization problem on a pixel subset).
+
+    Runs in a SUBPROCESS when executed inside the full suite: XLA:CPU
+    segfaults (native crash, not an exception) compiling this test's scan
+    programs in a process that already holds many compiled executables —
+    same crash class the ``no_persistent_cache`` fixture documents, but on
+    the *compile* side (``backend_compile_and_load``), so bypassing the
+    cache is not enough.  The test passes standalone, warm or cold.
+    """
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("SDFEST_ISOLATED_TEST", "") != "1":
+        result = subprocess.run(
+            [
+                _sys.executable, "-m", "pytest", "-q", "-x",
+                "tests/test_pipeline_options.py::"
+                "test_multires_converges_like_single_phase",
+            ],
+            env=dict(os.environ, SDFEST_ISOLATED_TEST="1"),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        assert result.returncode == 0, (
+            f"isolated run failed:\n{result.stdout[-4000:]}\n"
+            f"{result.stderr[-2000:]}"
+        )
+        return
     true_p = jnp.asarray([0.02, -0.01, -0.45])
     base = _config(max_iterations=12)
     mr = _config(max_iterations=12, multires_factor=2,
