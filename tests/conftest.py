@@ -90,6 +90,7 @@ _SLOW_TESTS = {
     "test_early_stop_freezes_after_plateau",
     "test_early_stop_composes_with_multires",
     "test_multires_multi_view",
+    "test_refinement_trajectory_matches_reference_cpu",
 }
 
 
