@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+import zlib
 from datetime import datetime
 from typing import Dict
 
@@ -106,7 +107,11 @@ class Trainer:
             cfg.setdefault("num_points", self._num_points)
             dataset = SDFVAEViewDataset(cfg, self._vae, self._vae_params)
             self._generated_datasets[name] = dataset
-            return _GeneratedLoader(dataset, self._batch_size, seed=hash(name) % 2**31)
+            # stable per-name seed (NOT Python hash(), which is salted per
+            # process and would make the generated data stream — and thus
+            # the whole run — irreproducible)
+            seed = zlib.crc32(name.encode()) % 2**31
+            return _GeneratedLoader(dataset, self._batch_size, seed=seed)
         if dtype == "NOCSDataset":
             from sdfest_tpu.datasets.nocs_dataset import NOCSDataset
 
@@ -144,6 +149,11 @@ class Trainer:
             return {}
         validation = {}
         for name, spec in self._init_config.get("validation_datasets", {}).items():
+            # same disable mechanism as training datasets: probability 0
+            # (or a null spec) drops the loader so recipes can run without
+            # the NOCS/Redwood trees present
+            if not spec or spec.get("probability", 1.0) <= 0.0:
+                continue
             validation[name] = self._create_dataset(name, spec)
         return validation
 

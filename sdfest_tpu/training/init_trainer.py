@@ -154,6 +154,15 @@ class InitTrainer:
             "latent_mse": float(jnp.mean((latent - batch["latent_shape"]) ** 2)),
             "position_mse": float(jnp.mean((position - batch["position"]) ** 2)),
             "scale_mse": float(jnp.mean((scale - batch["scale"]) ** 2)),
+            # interpretable single-shot errors (meters / absolute scale):
+            # the reference logs only geodesic distance
+            # (/root/reference/sdfest/initialization/scripts/train.py:365-375)
+            "position_error": float(
+                jnp.mean(
+                    jnp.linalg.norm(position - batch["position"], axis=-1)
+                )
+            ),
+            "scale_error": float(jnp.mean(jnp.abs(scale - batch["scale"]))),
         }
         if self.orientation_repr == "quaternion":
             pred_q = orientation
