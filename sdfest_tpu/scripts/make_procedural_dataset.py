@@ -25,7 +25,7 @@ from sdfest_tpu.utils.scenes import make_mug_family_sdf, sample_mug_family
 
 
 def generate(out: str, n: int, res: int = 64, seed: int = 0,
-             dtype: str = "float16") -> list:
+             dtype: str = "float16", export_meshes: bool = False) -> list:
     """Write ``n`` mug-family SDF grids to ``out``; returns the params list.
 
     ``float16`` storage halves the footprint; values span ~[-2, 2] with a
@@ -39,6 +39,19 @@ def generate(out: str, n: int, res: int = 64, seed: int = 0,
         params = sample_mug_family(rng)
         sdf = make_mug_family_sdf(res, **params)
         np.save(os.path.join(out, f"{i:05d}.npy"), sdf.astype(dtype))
+        if export_meshes:
+            # .obj alongside: the rendering_evaluation harness consumes
+            # meshes, so held-out eval sets are generated with this flag
+            from sdfest_tpu.ops.sdf_utils import mesh_from_sdf
+            from sdfest_tpu.pipeline.synthetic import save_obj
+
+            mesh = mesh_from_sdf(sdf, complete_mesh=True)
+            if mesh is not None:
+                save_obj(
+                    os.path.join(out, f"{i:05d}.obj"),
+                    mesh.vertices,
+                    mesh.faces,
+                )
         all_params.append(params)
     with open(os.path.join(out, "params.json"), "w") as f:
         json.dump({"seed": seed, "res": res, "n": n, "params": all_params}, f)
@@ -53,8 +66,13 @@ def main() -> None:
     parser.add_argument("--n", type=int, default=1000)
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--export_meshes", action="store_true",
+        help="also write %%05d.obj isosurface meshes (held-out eval sets)",
+    )
     args = parser.parse_args()
-    generate(args.out, args.n, args.res, args.seed)
+    generate(args.out, args.n, args.res, args.seed,
+             export_meshes=args.export_meshes)
     print(f"Wrote {args.n} {args.res}^3 SDF grids to {args.out}")
 
 

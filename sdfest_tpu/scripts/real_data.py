@@ -73,6 +73,36 @@ def load_rgbd_object_uw_rgbd(rgb_path: str) -> Tuple[np.ndarray, np.ndarray, str
     return color, depth, rgb_path, depth_path
 
 
+def load_synthetic_rgbd(
+    mesh_path: str, camera_config: Optional[dict] = None
+) -> Tuple[np.ndarray, np.ndarray, str, str]:
+    """Render a Redwood-like RGB-D frame from a mesh file (deterministic).
+
+    The runtime-analysis protocol (reference real_data.py:286-319 +
+    configs/runtime_analysis.yaml) measures phase timings on one real
+    RGB-D frame; in environments without the Redwood download this loader
+    substitutes an equivalent synthetic observation — a posed mesh
+    z-buffer render through the config camera (identical raster, identical
+    mask statistics: one connected object at ~0.6 m).  Timings do not
+    depend on pixel content beyond the object's screen footprint.
+    """
+    from sdfest_tpu.ops.camera import Camera
+    from sdfest_tpu.pipeline import synthetic
+
+    camera = Camera(**(camera_config or {
+        "width": 640, "height": 480, "fx": 525, "fy": 525,
+        "cx": 319.5, "cy": 239.5, "pixel_center": 0,
+    }))
+    mesh = synthetic.Mesh(path=mesh_path, scale=0.11, center=True)
+    # fixed pose in the (OpenCV-convention) rasterizer camera frame:
+    # 0.6 m ahead, tilted 45 deg about x so rim + handle are visible
+    mesh.position = np.array([0.0, 0.0, 0.6])
+    mesh.orientation = np.array([0.3826834, 0.0, 0.0, 0.9238795])
+    depth = synthetic.draw_depth_geometry(mesh, camera).astype(np.float32)
+    color = np.zeros((camera.height, camera.width, 3), np.float32)
+    return color, depth, mesh_path, mesh_path
+
+
 _LOADERS = {
     "redwood": load_redwood_rgbd,
     "real275": load_real275_rgbd,
@@ -83,6 +113,8 @@ _LOADERS = {
 def load_rgbd(config: dict) -> Tuple[np.ndarray, np.ndarray, str, str]:
     """Load one RGB-D image per the config's ``dataset`` / ``input`` keys."""
     dataset = config["dataset"]
+    if dataset == "synthetic":
+        return load_synthetic_rgbd(config["input"], config.get("camera"))
     if dataset not in _LOADERS:
         raise NotImplementedError(f"Dataset {dataset} is not supported")
     return _LOADERS[dataset](config["input"])
@@ -160,7 +192,9 @@ def _detectron_masks(color, config, cache_path):
 # ---------------------------------------------------------------------------
 
 
-def measure_phases(pipeline: SDFPipeline, depth, mask) -> Dict[str, Dict]:
+def measure_phases(
+    pipeline: SDFPipeline, depth, mask, runs: int = 10
+) -> Dict[str, Dict]:
     """Per-phase device timings with reference-comparable phase names.
 
     Phases: init (preprocess + network), decode (VAE), render (forward),
@@ -179,7 +213,7 @@ def measure_phases(pipeline: SDFPipeline, depth, mask) -> Dict[str, Dict]:
     if pipeline.orientation_repr == "discretized":
         orientation = pipeline._grid_quats[jnp.argmax(orientation)][None]
 
-    def timed(fn, x0, n=10):
+    def timed(fn, x0, n=runs):
         x = fn(x0)
         block(x)
         x = fn(x)  # throwaway timed round (tunneled-TPU first-call jitter)
@@ -291,7 +325,12 @@ def runtime_analysis(config: dict) -> dict:
     results = {}
     for shape_opt in (True, False):
         pipeline.config["shape_optimization"] = shape_opt
-        phase_stats = measure_phases(pipeline, depth, mask)
+        # reference protocol: `runs` total, first skipped (timed() already
+        # discards one warm round, so n = runs - skip_first)
+        n_timed = int(config.get("runs", 11)) - bool(
+            config.get("skip_first_run", True)
+        )
+        phase_stats = measure_phases(pipeline, depth, mask, runs=n_timed)
         results["results_with_decode" if shape_opt else "results_without_decode"] = {
             k: {kk: float(vv) for kk, vv in v.items()}
             for k, v in phase_stats.items()
