@@ -755,6 +755,100 @@ def main():
         else {}
     )
 
+    # single-shot accuracy of the FRAMEWORK-TRAINED init network
+    # (docs/training_demo.md; BASELINE parity config 4): load the demo
+    # artifacts, sample held-out generated views (a stream disjoint from
+    # every training/validation loader seed), and report the reference's
+    # validation metrics (/root/reference/sdfest/initialization/scripts/
+    # train.py:344-374) as interpretable errors.
+    def _init_accuracy_stage():
+        import math
+        import os
+
+        from sdfest_tpu.datasets.generated import SDFVAEViewDataset
+        from sdfest_tpu.models.vae import create_vae_from_config
+        from sdfest_tpu.ops import quaternion as quat_ops
+        from sdfest_tpu.training.init_trainer import InitTrainer
+        from sdfest_tpu.utils import weights as weight_utils
+        from sdfest_tpu.utils.config import load_config
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        mcfg = load_config(
+            {
+                "config": [
+                    os.path.join(
+                        repo,
+                        "sdfest_tpu/configs/estimation/models/"
+                        "mug_procedural.yaml",
+                    )
+                ]
+            }
+        )
+        vae_path = os.path.join(repo, mcfg["vae"]["model"])
+        init_path = os.path.join(repo, mcfg["init"]["model"])
+        if not (os.path.exists(vae_path) and os.path.exists(init_path)):
+            raise RuntimeError(
+                "trained demo artifacts missing (run the docs/"
+                "training_demo.md recipes)"
+            )
+        vae = create_vae_from_config(mcfg["vae"])
+        vae_params = weight_utils.load_vae_params(
+            dict(mcfg["vae"], model=vae_path), vae, 64
+        )
+        icfg = dict(mcfg["init"], model=init_path)
+        num_points = icfg.get("num_points", 2500)
+        trainer = InitTrainer(icfg, latent_size=mcfg["vae"]["latent_size"])
+        state = weight_utils.load_init_variables(
+            icfg, trainer.net, num_points
+        )
+        ds_cfg = dict(
+            icfg["datasets"]["generated_dataset"]["config_dict"],
+            num_points=num_points,
+        )
+        dataset = SDFVAEViewDataset(ds_cfg, vae, vae_params)
+
+        key = jax.random.PRNGKey(7770001)  # held-out stream
+        predict = jax.jit(trainer.predict)
+        sums = {"pos": 0.0, "scale": 0.0, "geo": 0.0, "n": 0.0}
+        for _ in range(8):  # 8 x batch 8 = 64 held-out views
+            key, subkey = jax.random.split(key)
+            batch = dataset.sample_batch(subkey, 8)
+            _, position, scale, orientation = predict(
+                state, batch["pointset"]
+            )
+            v = batch["valid"].astype(jnp.float32)
+            pred_q = trainer.grid_quats[jnp.argmax(orientation, axis=-1)]
+            sums["pos"] += float(
+                jnp.sum(
+                    v * jnp.linalg.norm(position - batch["position"], axis=-1)
+                )
+            )
+            sums["scale"] += float(
+                jnp.sum(v * jnp.abs(scale - batch["scale"]) / batch["scale"])
+            )
+            sums["geo"] += float(
+                jnp.sum(
+                    v
+                    * quat_ops.geodesic_distance(pred_q, batch["quaternion"])
+                )
+            )
+            sums["n"] += float(jnp.sum(v))
+        n = max(sums["n"], 1.0)
+        return {
+            "held_out_views": int(n),
+            "position_error_mm": round(sums["pos"] / n * 1000, 2),
+            "scale_error_pct": round(sums["scale"] / n * 100, 2),
+            "orientation_geodesic_deg": round(
+                math.degrees(sums["geo"] / n), 2
+            ),
+        }
+
+    init_accuracy = (
+        run_stage("init_accuracy", _init_accuracy_stage, {})
+        if not args.quick
+        else {}
+    )
+
     # headline = the shipped production schedule (configs/estimation/
     # fast.yaml: multires [4, 2] + ROI — the SAME optimization problem on
     # exact crops / exactly-strided sub-observations, quality pinned by the
@@ -814,6 +908,7 @@ def main():
             if production_iters_per_sec > 0
             else 0.0,
             "trained_vae_refine": trained_vae,
+            "init_accuracy": init_accuracy,
             "mosaic_parity": {
                 "hit_agreement": round(hit_agreement, 5),
                 "p99_depth_delta": round(p99_depth_delta, 6),

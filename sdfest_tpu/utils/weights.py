@@ -47,6 +47,10 @@ def load_params(path: str, template: Any) -> Any:
 def _search_paths():
     return [
         ".",
+        # repo root: configs shipping repo-relative weight paths (e.g. the
+        # training demo's trained_models/...) resolve from any cwd
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
         os.path.expanduser("~/.sdfest_tpu/model_weights/"),
         os.path.expanduser("~/.sdfest/model_weights/"),  # reference weights dir
     ]
