@@ -808,31 +808,35 @@ def main():
         dataset = SDFVAEViewDataset(ds_cfg, vae, vae_params)
 
         key = jax.random.PRNGKey(7770001)  # held-out stream
-        predict = jax.jit(trainer.predict)
+
+        # one compiled program per batch (predict + error sums): separate
+        # eager reductions each pay a remote-compile/dispatch round trip
+        # on a hosted TPU (minutes of pure latency)
+        @jax.jit
+        def batch_sums(state, batch):
+            _, position, scale, orientation = trainer.predict(state, batch["pointset"])
+            v = batch["valid"].astype(jnp.float32)
+            pred_q = trainer.grid_quats[jnp.argmax(orientation, axis=-1)]
+            return {
+                "pos": jnp.sum(
+                    v * jnp.linalg.norm(position - batch["position"], axis=-1)
+                ),
+                "scale": jnp.sum(
+                    v * jnp.abs(scale - batch["scale"]) / batch["scale"]
+                ),
+                "geo": jnp.sum(
+                    v * quat_ops.geodesic_distance(pred_q, batch["quaternion"])
+                ),
+                "n": jnp.sum(v),
+            }
+
         sums = {"pos": 0.0, "scale": 0.0, "geo": 0.0, "n": 0.0}
         for _ in range(8):  # 8 x batch 8 = 64 held-out views
             key, subkey = jax.random.split(key)
             batch = dataset.sample_batch(subkey, 8)
-            _, position, scale, orientation = predict(
-                state, batch["pointset"]
-            )
-            v = batch["valid"].astype(jnp.float32)
-            pred_q = trainer.grid_quats[jnp.argmax(orientation, axis=-1)]
-            sums["pos"] += float(
-                jnp.sum(
-                    v * jnp.linalg.norm(position - batch["position"], axis=-1)
-                )
-            )
-            sums["scale"] += float(
-                jnp.sum(v * jnp.abs(scale - batch["scale"]) / batch["scale"])
-            )
-            sums["geo"] += float(
-                jnp.sum(
-                    v
-                    * quat_ops.geodesic_distance(pred_q, batch["quaternion"])
-                )
-            )
-            sums["n"] += float(jnp.sum(v))
+            got = jax.device_get(batch_sums(state, batch))
+            for k in sums:
+                sums[k] += float(got[k])
         n = max(sums["n"], 1.0)
         return {
             "held_out_views": int(n),

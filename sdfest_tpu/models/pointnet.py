@@ -37,31 +37,45 @@ class VanillaPointNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        """Forward pass; ``x`` has shape (N, M, C). Returns (N, features)."""
+        """Forward pass; ``x`` has shape (N, M, C). Returns (N, features).
+
+        The per-point MLP runs on the flattened ``(N*M, C)`` view: XLA then
+        emits one large MXU matmul per layer instead of treating the point
+        axis as a convolution spatial dimension (the rank-3 form routed
+        libtpu's SpatialMajorConvolution fusion in inference mode, which
+        both tiles worse and hits a compiler CHECK when fused with the
+        point-axis max reduction).
+        """
         num_layers = len(self.mlp_out_sizes)
-        out = prev_out = x
+        n, m, _ = x.shape
+        out = prev_out = x.reshape(n * m, -1)
         for i, out_size in enumerate(self.mlp_out_sizes):
             out = nn.Dense(out_size, name=f"linear_{i}")(out)
             if self.batchnorm:
-                n, m, c = out.shape
                 out = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
                     name=f"bn_{i}",
-                )(out.reshape(n * m, c)).reshape(n, m, c)
+                )(out)
             out = nn.relu(out)
             if self.dense:
-                out_max = jnp.max(out, axis=1, keepdims=True)
+                out_max = jnp.max(out.reshape(n, m, -1), axis=1)
                 if i != num_layers - 1:
                     out = jnp.concatenate(
-                        [out, jnp.broadcast_to(out_max, out.shape)], axis=2
+                        [
+                            out,
+                            jnp.broadcast_to(
+                                out_max[:, None, :], (n, m, out.shape[-1])
+                            ).reshape(n * m, -1),
+                        ],
+                        axis=-1,
                     )
             if self.residual:
                 if prev_out.shape == out.shape:
                     out = prev_out + out
             prev_out = out
-        return jnp.max(out, axis=1)
+        return jnp.max(out.reshape(n, m, -1), axis=1)
 
 
 class IterativePointNet(nn.Module):

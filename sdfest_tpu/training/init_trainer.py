@@ -143,32 +143,55 @@ class InitTrainer:
             train=False,
         )
 
-    def compute_metrics(
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _metrics_device(
         self, state: Dict[str, Any], batch: Dict[str, jax.Array]
-    ) -> Dict[str, float]:
-        """Validation metrics incl. mean geodesic orientation error."""
-        latent, position, scale, orientation = self.predict(
-            state, batch["pointset"]
+    ) -> Dict[str, jax.Array]:
+        """All validation metrics as ONE compiled program.
+
+        Computing them as separate eager ops is pathological on a hosted
+        TPU: every distinct small program pays the remote-compile +
+        dispatch round trip, turning a validation milestone into minutes
+        of latency.  One jitted program -> one compile, one host sync.
+        """
+        latent, position, scale, orientation = self.net.apply(
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            batch["pointset"],
+            train=False,
         )
         metrics = {
-            "latent_mse": float(jnp.mean((latent - batch["latent_shape"]) ** 2)),
-            "position_mse": float(jnp.mean((position - batch["position"]) ** 2)),
-            "scale_mse": float(jnp.mean((scale - batch["scale"]) ** 2)),
+            "latent_mse": jnp.mean((latent - batch["latent_shape"]) ** 2),
+            "position_mse": jnp.mean((position - batch["position"]) ** 2),
+            "scale_mse": jnp.mean((scale - batch["scale"]) ** 2),
             # interpretable single-shot errors (meters / absolute scale):
             # the reference logs only geodesic distance
             # (/root/reference/sdfest/initialization/scripts/train.py:365-375)
-            "position_error": float(
-                jnp.mean(
-                    jnp.linalg.norm(position - batch["position"], axis=-1)
-                )
+            "position_error": jnp.mean(
+                jnp.linalg.norm(position - batch["position"], axis=-1)
             ),
-            "scale_error": float(jnp.mean(jnp.abs(scale - batch["scale"]))),
+            "scale_error": jnp.mean(jnp.abs(scale - batch["scale"])),
         }
         if self.orientation_repr == "quaternion":
             pred_q = orientation
         else:
             pred_q = self.grid_quats[jnp.argmax(orientation, axis=-1)]
-        metrics["geodesic_distance"] = float(
-            jnp.mean(quaternion.geodesic_distance(pred_q, batch["quaternion"]))
+        metrics["geodesic_distance"] = jnp.mean(
+            quaternion.geodesic_distance(pred_q, batch["quaternion"])
         )
         return metrics
+
+    def compute_metrics(
+        self, state: Dict[str, Any], batch: Dict[str, jax.Array]
+    ) -> Dict[str, float]:
+        """Validation metrics incl. mean geodesic orientation error."""
+        device_metrics = self._metrics_device(
+            state,
+            {
+                k: batch[k]
+                for k in (
+                    "pointset", "latent_shape", "position", "scale",
+                    "quaternion",
+                )
+            },
+        )
+        return {k: float(v) for k, v in jax.device_get(device_metrics).items()}
