@@ -206,34 +206,83 @@ class Trainer:
             )
             print(f"Loaded init weights from {self._init_config['init_weights']}")
 
-        start = time.time()
-        for iteration in range(1, self._iterations + 1):
-            batch = next(data_loader)
-            batch = {
-                k: jnp.asarray(v)
-                for k, v in batch.items()
-                if k in ("pointset", "latent_shape", "position", "scale",
-                         "orientation")
-            }
-            self.state, metrics = self.trainer.train_step(self.state, batch)
+        # chained dispatches (steps_per_dispatch > 1): only for a single
+        # active on-device generated stream — host loaders can't be traced
+        # into the scan.  See InitTrainer.make_chained_step for why.
+        spd = int(self._init_config.get("steps_per_dispatch", 1) or 1)
+        active = [
+            name
+            for name, spec in self._init_config["datasets"].items()
+            if spec.get("probability", 1.0) > 0.0
+        ]
+        if spd > 1 and (
+            len(active) != 1 or active[0] not in self._generated_datasets
+        ):
+            print(
+                "steps_per_dispatch requires a single generated dataset; "
+                "falling back to per-step dispatch"
+            )
+            spd = 1
+        chained = None
+        if spd > 1:
+            dataset = self._generated_datasets[active[0]]
+            chained = self.trainer.make_chained_step(
+                dataset, self._batch_size, spd
+            )
+            # distinct stream from the loader's (fold_in), still seeded
+            chain_key = jax.random.fold_in(
+                jax.random.PRNGKey(zlib.crc32(active[0].encode()) % 2**31), 1
+            )
 
-            if writer is not None and iteration % 20 == 0:
-                for name, value in metrics.items():
-                    writer.add_scalar(name, float(value), iteration)
-            if iteration % 100 == 0 or iteration == self._iterations:
-                print(
-                    f"Iteration {iteration}/{self._iterations} "
-                    f"loss {float(metrics['loss']):.4f}"
+        start = time.time()
+        iteration = 0
+        while iteration < self._iterations:
+            if chained is not None:
+                chain_key, sub = jax.random.split(chain_key)
+                self.state, stacked = chained(self.state, sub)
+                got = jax.device_get(stacked)
+                chunk = spd
+            else:
+                batch = next(data_loader)
+                batch = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if k in ("pointset", "latent_shape", "position", "scale",
+                             "orientation")
+                }
+                self.state, metrics = self.trainer.train_step(
+                    self.state, batch
                 )
-            if validation_iteration and iteration % validation_iteration == 0:
-                self._validate(validation_loaders, writer, iteration)
-            if checkpoint_iteration and iteration % checkpoint_iteration == 0:
-                ckpt.save_checkpoint(
-                    os.path.join(self._model_dir, f"{iteration}.ckpt"),
-                    self.state,
-                    iteration,
-                    self._run_name,
-                )
+                got = {k: [float(v)] for k, v in metrics.items()}
+                chunk = 1
+
+            for j in range(chunk):
+                iteration += 1
+                if writer is not None and iteration % 20 == 0:
+                    for name, value in got.items():
+                        writer.add_scalar(name, float(value[j]), iteration)
+                if iteration % 100 == 0 or iteration == self._iterations:
+                    print(
+                        f"Iteration {iteration}/{self._iterations} "
+                        f"loss {float(got['loss'][j]):.4f}"
+                    )
+                if (
+                    validation_iteration
+                    and iteration % validation_iteration == 0
+                ):
+                    self._validate(validation_loaders, writer, iteration)
+                if (
+                    checkpoint_iteration
+                    and iteration % checkpoint_iteration == 0
+                ):
+                    ckpt.save_checkpoint(
+                        os.path.join(self._model_dir, f"{iteration}.ckpt"),
+                        self.state,
+                        iteration,
+                        self._run_name,
+                    )
+                if iteration >= self._iterations:
+                    break
 
         print(f"Training took {time.time() - start:.1f}s")
         model_path, config_path = ckpt.save_model_and_config(

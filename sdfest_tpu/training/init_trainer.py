@@ -132,6 +132,30 @@ class InitTrainer:
         """Jitted single-device :meth:`step`."""
         return self.step(state, batch)
 
+    def make_chained_step(self, dataset, batch_size: int, k: int):
+        """K on-device-generation + train steps as ONE compiled program.
+
+        On a hosted TPU the per-dispatch wall cost (~300 ms through the
+        tunnel) dominates the ~11 ms device step, capping training at
+        ~3 it/s no matter the chip.  Scanning K generation+train steps
+        inside one jit amortizes the dispatch to ~1/K, restoring
+        device-bound throughput.  Only valid for fully on-device data
+        (``SDFVAEViewDataset``); host-loader streams can't be traced.
+
+        Returns ``fn(state, key) -> (state, stacked_metrics)`` with
+        metrics stacked along a leading (k,) axis, oldest first.
+        """
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chained(state, key):
+            def body(st, subkey):
+                batch = dataset.sample_batch(subkey, batch_size)
+                return self.step(st, batch)
+
+            return jax.lax.scan(body, state, jax.random.split(key, k))
+
+        return chained
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def predict(
         self, state: Dict[str, Any], pointsets: jax.Array
