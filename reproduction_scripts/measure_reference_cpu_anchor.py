@@ -32,7 +32,7 @@ WIDTH, HEIGHT = 80, 60
 FOV_DEG = 70.0
 FX = float(WIDTH / (2.0 * np.tan(np.radians(FOV_DEG) / 2.0)))
 THRESHOLD = 0.005
-N_LO, N_HI = 2, 12
+N_LO, N_HI = 2, 32
 # our per-iteration cost is ~100x smaller, so the differential needs a
 # much wider gap plus min-of-repeats to rise above host timing noise
 N_LO_OURS, N_HI_OURS, REPEATS_OURS = 5, 105, 5
@@ -160,15 +160,19 @@ def measure_reference(base_cfg, start, depth, mask):
         builtins.print = real_print
         return dt
 
-    # min-of-3 differentials: the best case for the reference (i.e. the
-    # conservative case for any speedup claimed over it) on a 1-CPU host
-    # where background dispatch processes can inflate individual runs
-    best = float("inf")
-    for _ in range(3):
-        t_lo = run(N_LO)
-        t_hi = run(N_HI)
-        best = min(best, (t_hi - t_lo) / (N_HI - N_LO))
-    return best
+    # per-endpoint min-of-3, then ONE differential: the classic noise-
+    # robust timing estimator (min() of a set of differentials is biased
+    # low and can go negative when per-endpoint noise exceeds the
+    # iteration cost — observed on the first version of this script).
+    # Using each endpoint's best case keeps the estimate conservative
+    # for any speedup claimed over the reference.
+    t_lo = min(run(N_LO) for _ in range(3))
+    t_hi = min(run(N_HI) for _ in range(3))
+    real_print(
+        f"[reference raw] t({N_LO} iters) = {t_lo:.2f} s (min of 3), "
+        f"t({N_HI} iters) = {t_hi:.2f} s (min of 3)"
+    )
+    return (t_hi - t_lo) / (N_HI - N_LO)
 
 
 def measure_ours(base_cfg, start, depth, mask):
