@@ -816,7 +816,9 @@ def main():
         def batch_sums(state, batch):
             _, position, scale, orientation = trainer.predict(state, batch["pointset"])
             v = batch["valid"].astype(jnp.float32)
-            pred_q = trainer.grid_quats[jnp.argmax(orientation, axis=-1)]
+            pred_q = jnp.asarray(trainer.grid_quats)[
+                jnp.argmax(orientation, axis=-1)
+            ]
             return {
                 "pos": jnp.sum(
                     v * jnp.linalg.norm(position - batch["position"], axis=-1)

@@ -202,14 +202,17 @@ class SDFVAEViewDataset:
         self._orientation_repr = merged["orientation_repr"]
         if self._orientation_repr == "discretized":
             self.grid = SO3Grid(merged["orientation_grid_resolution"])
-            self._grid_quats = jnp.asarray(self.grid.quaternions(), jnp.float32)
+            # host constant: device-array closures stall jit lowering
+            # through the hosted-TPU tunnel (see InitTrainer.grid_quats)
+            self._grid_quats = np.asarray(self.grid.quaternions(), np.float32)
         else:
             self.grid = None
-        self._kernel = jnp.asarray(
+        self._kernel = np.asarray(
             _gaussian_kernel(
                 merged["gaussian_noise_kernel_std"],
                 merged["gaussian_noise_kernel_size"],
-            )
+            ),
+            np.float32,
         )
         self._kernel_1d = _gaussian_kernel_1d(
             merged["gaussian_noise_kernel_std"],

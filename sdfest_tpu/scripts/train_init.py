@@ -206,6 +206,25 @@ class Trainer:
             )
             print(f"Loaded init weights from {self._init_config['init_weights']}")
 
+        # resume: true -> continue from the latest <iteration>.ckpt in
+        # model_dir (reference analogue: train.py's --ckpt flag).  Makes
+        # long hosted-TPU runs interruption-safe: a killed run loses at
+        # most checkpoint_iteration steps.
+        start_iteration = 0
+        if self._init_config.get("resume"):
+            candidates = []
+            if os.path.isdir(self._model_dir):
+                for fname in os.listdir(self._model_dir):
+                    stem, ext = os.path.splitext(fname)
+                    if ext == ".ckpt" and stem.isdigit():
+                        candidates.append((int(stem), fname))
+            if candidates:
+                it, fname = max(candidates)
+                path = os.path.join(self._model_dir, fname)
+                self.state, meta = ckpt.load_checkpoint(path, self.state)
+                start_iteration = int(meta.get("iteration", it))
+                print(f"Resumed from {path} at iteration {start_iteration}")
+
         # chained dispatches (steps_per_dispatch > 1): only for a single
         # active on-device generated stream — host loaders can't be traced
         # into the scan.  See InitTrainer.make_chained_step for why.
@@ -229,13 +248,23 @@ class Trainer:
             chained = self.trainer.make_chained_step(
                 dataset, self._batch_size, spd
             )
-            # distinct stream from the loader's (fold_in), still seeded
+            # distinct stream from the loader's (fold_in), still seeded;
+            # folding in start_iteration keeps a resumed run's data
+            # stream disjoint from the segment it replaced
             chain_key = jax.random.fold_in(
-                jax.random.PRNGKey(zlib.crc32(active[0].encode()) % 2**31), 1
+                jax.random.PRNGKey(zlib.crc32(active[0].encode()) % 2**31),
+                1 + start_iteration,
             )
 
+        if validation_iteration:
+            # pay every validation-path compile (held-out stream render +
+            # metrics program) upfront and log the pre-training baseline,
+            # so the first mid-run validation milestone doesn't stall the
+            # training stream for minutes on a hosted TPU
+            self._validate(validation_loaders, writer, start_iteration)
+
         start = time.time()
-        iteration = 0
+        iteration = start_iteration
         while iteration < self._iterations:
             if chained is not None:
                 chain_key, sub = jax.random.split(chain_key)

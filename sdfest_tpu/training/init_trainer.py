@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from sdfest_tpu.models.pose_net import create_pose_net
@@ -30,7 +31,11 @@ class InitTrainer:
         self.orientation_repr = init_config["head"]["orientation_repr"]
         if self.orientation_repr == "discretized":
             grid = SO3Grid(init_config["head"]["orientation_grid_resolution"])
-            self.grid_quats = jnp.asarray(grid.quaternions(), jnp.float32)
+            # keep as a HOST constant: a device-array closure constant
+            # forces a device->host fetch during every jit lowering that
+            # captures it, which stalls for minutes through the hosted-TPU
+            # tunnel (observed in the round-4 training run)
+            self.grid_quats = np.asarray(grid.quaternions(), np.float32)
         else:
             self.grid_quats = None
         self.optimizer = optax.adam(init_config.get("learning_rate", 1e-3))
@@ -198,7 +203,9 @@ class InitTrainer:
         if self.orientation_repr == "quaternion":
             pred_q = orientation
         else:
-            pred_q = self.grid_quats[jnp.argmax(orientation, axis=-1)]
+            pred_q = jnp.asarray(self.grid_quats)[
+                jnp.argmax(orientation, axis=-1)
+            ]
         metrics["geodesic_distance"] = jnp.mean(
             quaternion.geodesic_distance(pred_q, batch["quaternion"])
         )
