@@ -147,6 +147,42 @@ def test_train_init_generated_smoke(tmp_path):
     assert os.path.isfile(result["config"])
 
 
+def test_train_init_resume(tmp_path, capsys):
+    """resume: true continues from the newest <iteration>.ckpt."""
+    from sdfest_tpu.scripts.train_init import Trainer
+
+    datasets = {
+        "generated_dataset": {
+            "type": "SDFVAEViewDataset",
+            "probability": 1.0,
+            "config_dict": {
+                "width": 32,
+                "height": 24,
+                "fov_deg": 90,
+                "z_min": 0.2,
+                "z_max": 0.8,
+                "extent_mean": 0.2,
+                "extent_std": 0.01,
+                "pointcloud": True,
+                "normalize_pose": True,
+                "render_threshold": 0.01,
+                "orientation_repr": "discretized",
+                "orientation_grid_resolution": 0,
+            },
+        }
+    }
+    config = _init_config(tmp_path, datasets)
+    config["init"]["resume"] = True
+    Trainer(config).run()
+    assert os.path.isfile(tmp_path / "models" / "2.ckpt")
+
+    config["init"]["iterations"] = 4
+    Trainer(config).run()
+    out = capsys.readouterr().out
+    assert "Resumed from" in out and "at iteration 2" in out
+    assert os.path.isfile(tmp_path / "models" / "4.ckpt")
+
+
 @pytest.mark.skipif(not HAS_NOCS, reason="NOCS fixture unavailable")
 def test_train_init_nocs_smoke(tmp_path):
     from sdfest_tpu.scripts.train_init import Trainer
