@@ -236,9 +236,18 @@ class SDFPipeline:
         n_views = depth_images.shape[0]
         init_view = self.config.get("init_view", "first")
         keys = jax.random.split(key, n_views)
-        latent, position, scale, orientation, any_valid = jax.vmap(
-            self._nn_init_single
-        )(depth_images, keys)
+        # lax.map (sequential scan), NOT vmap: view-batching the per-point
+        # MLP produces a rank-3 (V, points, C) program whose point-axis max
+        # fusion hits an XLA:TPU compiler CHECK (fusion_util.cc
+        # TransformWindow "Loop will not make progress", observed at V=3
+        # with dense=True backbones), while the V=1 program compiles on
+        # every backbone.  Views number a handful and the forward is ~ms,
+        # so sequencing costs nothing and keeps the compiled program the
+        # proven single-view shape.
+        latent, position, scale, orientation, any_valid = jax.lax.map(
+            lambda dk: self._nn_init_single(dk[0], dk[1]),
+            (depth_images, keys),
+        )
         if self.orientation_repr == "discretized":
             posterior = jax.nn.softmax(orientation, axis=-1)  # (V, 1, C)
             prior = prior_orientation_distribution
