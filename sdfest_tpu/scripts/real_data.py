@@ -208,7 +208,7 @@ def measure_phases(
     points, pmask = pointset.depth_to_pointcloud_dense(depth_j, pipeline.camera)
     key = jax.random.PRNGKey(0)
     latent, position, scale, orientation, _ = pipeline._nn_init_single(
-        depth_j, jnp.zeros(3), jnp.asarray([0.0, 0.0, 0.0, 1.0]), key
+        depth_j, key
     )
     if pipeline.orientation_repr == "discretized":
         orientation = pipeline._grid_quats[jnp.argmax(orientation)][None]
@@ -229,14 +229,7 @@ def measure_phases(
         "mean": timed(
             lambda d: d
             + 1e-6
-            * jnp.tanh(
-                jnp.sum(
-                    pipeline._nn_init_single(
-                        d, jnp.zeros(3), jnp.asarray([0.0, 0.0, 0.0, 1.0]),
-                        key,
-                    )[1]
-                )
-            ),
+            * jnp.tanh(jnp.sum(pipeline._nn_init_single(d, key)[1])),
             depth_j,
         ),
         "calls_per_run": 1,
