@@ -52,10 +52,16 @@ def main():
     try:
         import os as _os
 
+        import sdfest_tpu as _pkg
+
+        # repo root from the package location, NOT __file__: the latter
+        # points elsewhere when bench.py runs through exec()/runpy
         jax.config.update(
             "jax_compilation_cache_dir",
-            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                          ".jax_cache"),
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(_pkg.__file__))),
+                ".jax_cache",
+            ),
         )
     except Exception:
         pass
@@ -649,53 +655,97 @@ def main():
             target_t, camera, order="tile"
         )
 
-        def loss_t(st):
-            sdf = decode(st["latent"])
-            est, pc_vals = render_depth_with_pc_values(
-                sdf, st["position"], st["orientation"], st["scale"],
-                points_t, pmask_t, camera=camera, threshold=0.005,
-                backend=backend,
-            )
-            return L.depth_l1_loss(target_t, est) + 3.0 * L.masked_mean_abs(
-                pc_vals, pmask_t
-            )
+        # PRODUCTION schedule (fast.yaml: multires [4, 2] + stride-scaled
+        # ROI, 40/40/20 split) at the reference's real275-class budget of
+        # 3 x refine_iters (= 150 at the default 50): the round-4
+        # convergence study (NOTES.md "Latent-refinement convergence
+        # study", reproduction_scripts/latent_refinement_study.py) showed
+        # the shape residual needs ~150 iterations to converge (0.0219 ->
+        # 0.004 at latent LR 3e-2; at 50 iterations every LR leaves it
+        # ~0.02), and that the production schedule matches single-phase
+        # quality at that budget.  Latent LR 3e-2 is the study's optimum
+        # (1e-1 diverges, <=1e-2 undershoots at equal budget).
+        from sdfest_tpu.pipeline.pipeline import _roi_offset_for as _roi_off
 
-        opt = optax.chain(
-            optax.scale_by_adam(),
-            optax.multi_transform(
-                {
-                    "position": optax.scale(-1e-3),
-                    "orientation": optax.scale(-1e-2),
-                    "scale": optax.scale(-1e-3),
-                    "latent": optax.scale(-1e-2),
-                },
-                param_labels={
-                    k: k
-                    for k in ("position", "orientation", "scale", "latent")
-                },
-            ),
-        )
+        roi_hw = (192, 256)
+        t_iters = 3 * args.refine_iters
+
+        def make_loss_t(factor, with_roi):
+            cam_f = camera if factor == 1 else camera.strided(factor)
+            target_f = target_t[::factor, ::factor]
+            if with_roi:
+                roi_f = (roi_hw[0] // factor, roi_hw[1] // factor)
+                roi_off_f = _roi_off(target_f, roi_f)
+                target_f = jax.lax.dynamic_slice(
+                    target_f, (roi_off_f[0], roi_off_f[1]), roi_f
+                )
+                pts, msk = pointset.depth_to_pointcloud_dense(
+                    target_f, cam_f, order="tile", pixel_offset=roi_off_f
+                )
+            else:
+                roi_f, roi_off_f = None, None
+                pts, msk = pointset.depth_to_pointcloud_dense(
+                    target_f, cam_f, order="tile"
+                )
+
+            def lf(st):
+                sdf = decode(st["latent"])
+                est, pc_vals = render_depth_with_pc_values(
+                    sdf, st["position"], st["orientation"], st["scale"],
+                    pts, msk, camera=cam_f, threshold=0.005,
+                    backend=backend, roi=roi_f, roi_offset=roi_off_f,
+                )
+                return L.depth_l1_loss(target_f, est) + 3.0 * L.masked_mean_abs(
+                    pc_vals, msk
+                )
+
+            return lf
+
+        lrs = {
+            "position": -1e-3,
+            "orientation": -1e-2,
+            "scale": -1e-3,
+            "latent": -3e-2,
+        }
+        adam = optax.scale_by_adam()
+
+        def make_phase_t(loss_fn, n):
+            def phase(state):
+                opt_state = adam.init(state)
+
+                def step(carry, _):
+                    st, os_ = carry
+                    l, g = jax.value_and_grad(loss_fn)(st)
+                    up, os_ = adam.update(g, os_)
+                    st = optax.apply_updates(
+                        st, {k: lrs[k] * v for k, v in up.items()}
+                    )
+                    st = dict(
+                        st,
+                        orientation=st["orientation"]
+                        / jnp.linalg.norm(st["orientation"]),
+                    )
+                    return (st, os_), l
+
+                (st, _), ls = jax.lax.scan(
+                    step, (state, opt_state), None, length=n
+                )
+                return st, ls
+
+            return phase
+
+        n_lvl = (t_iters * 4) // 10
+        n_fin = t_iters - 2 * n_lvl
+        phase4 = make_phase_t(make_loss_t(4, True), n_lvl)
+        phase2 = make_phase_t(make_loss_t(2, True), n_lvl)
+        phase1 = make_phase_t(make_loss_t(1, True), n_fin)
 
         @jax.jit
         def refine_t(state):
-            opt_state = opt.init(state)
-
-            def step(carry, _):
-                st, os_ = carry
-                l, g = jax.value_and_grad(loss_t)(st)
-                up, os_ = opt.update(g, os_)
-                st = optax.apply_updates(st, up)
-                st = dict(
-                    st,
-                    orientation=st["orientation"]
-                    / jnp.linalg.norm(st["orientation"]),
-                )
-                return (st, os_), l
-
-            (st, _), ls = jax.lax.scan(
-                step, (state, opt_state), jnp.arange(args.refine_iters)
-            )
-            return st, ls
+            st, ls_a = phase4(state)
+            st, ls_b = phase2(st)
+            st, ls_c = phase1(st)
+            return st, jnp.concatenate([ls_a, ls_b, ls_c])
 
         st0 = {
             "position": true_p + jnp.asarray([0.03, -0.02, 0.02]),
@@ -732,8 +782,17 @@ def main():
         assert pe_last < pe_first / 3, (
             f"trained-VAE refinement did not converge: {pe_first} -> {pe_last} mm"
         )
+        # the study's convergence bar: the shape residual must actually
+        # drop (round-3 review flagged a -4.6% drop as unexplained; the
+        # production schedule at the study budget reaches ~-70-80%)
+        assert shape_res_last < 0.6 * shape_res_first, (
+            f"shape residual did not converge: "
+            f"{shape_res_first} -> {shape_res_last}"
+        )
         return {
-            "refine_iters_per_sec": round(args.refine_iters / t_t, 2),
+            "schedule": "production multires[4,2]+roi, latent_lr 3e-2",
+            "iters": t_iters,
+            "refine_iters_per_sec": round(t_iters / t_t, 2),
             "pos_err_first_last_mm": [round(pe_first, 1), round(pe_last, 2)],
             "scale_err_first_last_pct": [
                 round(float(abs(st0["scale"] / s_true - 1)) * 100, 2),
@@ -772,7 +831,10 @@ def main():
         from sdfest_tpu.utils import weights as weight_utils
         from sdfest_tpu.utils.config import load_config
 
-        repo = os.path.dirname(os.path.abspath(__file__))
+        import sdfest_tpu as _pkg
+
+        # package-anchored repo root (robust to exec()/runpy invocation)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
         mcfg = load_config(
             {
                 "config": [
