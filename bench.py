@@ -187,8 +187,45 @@ def main():
             pc_vals, pmask
         )
 
-    t_grad = sweep_time(
-        lambda p, q, s: jnp.sum(jax.grad(loss_fn, argnums=(0,))(p, q, s)[0])
+    failed_stages = []
+
+    def gated_seconds(name, measure, lo, hi):
+        """Timing plausibility gate (round-4 post-mortem: a tunneled
+        single-call loop shipped a 3,700x-fast multires timing into the
+        driver JSON unflagged).  Every stage timing must land inside a
+        physically plausible band derived from sibling measurements; a
+        violation triggers ONE re-measure (single-call timings through
+        the hosted-TPU tunnel occasionally read far off in either
+        direction), and a second violation is recorded in
+        ``failed_stages`` so the anomaly ships flagged, never silent."""
+        t = measure()
+        for attempt in range(2):
+            if lo <= t <= hi:
+                return t
+            if attempt == 0:
+                print(
+                    f"bench timing {name}={t * 1e3:.3f} ms outside "
+                    f"plausible band [{lo * 1e3:.3f}, {hi * 1e3:.3f}] ms; "
+                    "re-measuring once",
+                    file=sys.stderr,
+                )
+                t = measure()
+        failed_stages.append(
+            f"{name}: implausible timing {t:.6f}s "
+            f"(plausible band {lo:.6f}-{hi:.6f}s)"
+        )
+        return t
+
+    # anchor chain: t_grad anchors every refinement band below, so gate it
+    # against the forward render first (backward+forward can't be cheaper
+    # than the forward alone, nor hundreds of times it)
+    t_grad = gated_seconds(
+        "grad_sweep",
+        lambda: sweep_time(
+            lambda p, q, s: jnp.sum(jax.grad(loss_fn, argnums=(0,))(p, q, s)[0])
+        ),
+        0.5 * t_mug,
+        100.0 * t_mug,
     )
 
     # refinement: scanned Adam steps from a realistic init error (~4 cm off,
@@ -228,19 +265,34 @@ def main():
     }
     st, ls = refine(s0)
     block(ls)
-    # one throwaway timed rep: single calls on the tunneled TPU occasionally
-    # read far off (see NOTES.md); the steady state needs a warm pipe
-    block(refine(dict(s0, p=s0["p"] * 0.9999))[1])
-    t0 = time.perf_counter()
-    for i in range(max(args.reps, 1)):
-        st, ls = refine(dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1))))
-    block(ls)
-    t_refine = (time.perf_counter() - t0) / max(args.reps, 1)
+
+    _final_state = {}
+
+    def _measure_refine():
+        # one throwaway timed rep: single calls on the tunneled TPU
+        # occasionally read far off (see NOTES.md); the steady state needs
+        # a warm pipe
+        block(refine(dict(s0, p=s0["p"] * 0.9999))[1])
+        t0 = time.perf_counter()
+        for i in range(max(args.reps, 1)):
+            st_, ls_ = refine(dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1))))
+        block(ls_)
+        _final_state["st"] = st_
+        return (time.perf_counter() - t0) / max(args.reps, 1)
+
+    # plausible band: one refinement iteration is one fused fwd+bwd pass
+    # plus an Adam update — it cannot beat a fifth of the measured
+    # grad-sweep per-call time nor cost fifty times it
+    t_refine = gated_seconds(
+        "full_refine",
+        _measure_refine,
+        0.2 * args.refine_iters * t_grad,
+        50.0 * args.refine_iters * t_grad,
+    )
+    st = _final_state["st"]
     refine_iters_per_sec = args.refine_iters / t_refine
     pos_err_first = float(jnp.linalg.norm(s0["p"] - true_p)) * 1000
     pos_err_last = float(jnp.linalg.norm(st["p"] - true_p)) * 1000
-
-    failed_stages = []
 
     def run_stage(name, fn, default):
         """Optional stages fail soft (a late tunnel hiccup or a diverged
@@ -295,14 +347,25 @@ def main():
 
         st_roi, ls_roi = refine_roi(s0)
         block(ls_roi)
-        block(refine_roi(dict(s0, p=s0["p"] * 0.9999))[1])
-        t0 = time.perf_counter()
-        for i in range(max(args.reps, 1)):
-            st_roi, ls_roi = refine_roi(
-                dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1)))
-            )
-        block(ls_roi)
-        t_roi = (time.perf_counter() - t0) / max(args.reps, 1)
+        out = {}
+
+        def measure():
+            block(refine_roi(dict(s0, p=s0["p"] * 0.9999))[1])
+            t0 = time.perf_counter()
+            for i in range(max(args.reps, 1)):
+                st_, ls_ = refine_roi(
+                    dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1)))
+                )
+            block(ls_)
+            out["st"] = st_
+            return (time.perf_counter() - t0) / max(args.reps, 1)
+
+        # the ROI crop shrinks raster-proportional work, never below ~1/16
+        # of the full-frame program, and cannot be slower than ~4x it
+        t_roi = gated_seconds(
+            "roi_refine", measure, t_refine / 16.0, 4.0 * t_refine
+        )
+        st_roi = out["st"]
         # ROI refinement must converge like the full-frame program
         pos_err_roi = float(jnp.linalg.norm(st_roi["p"] - true_p)) * 1000
         assert pos_err_roi < 3 * max(pos_err_last, 2.0), (
@@ -372,12 +435,22 @@ def main():
 
         st_s, ls_s = run(s0)
         block(ls_s)
-        block(run(dict(s0, p=s0["p"] * 0.9999))[1])
-        t0 = time.perf_counter()
-        for i in range(max(args.reps, 1)):
-            st_s, ls_s = run(dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1))))
-        block(ls_s)
-        t_s = (time.perf_counter() - t0) / max(args.reps, 1)
+        out = {}
+
+        def measure():
+            block(run(dict(s0, p=s0["p"] * 0.9999))[1])
+            t0 = time.perf_counter()
+            for i in range(max(args.reps, 1)):
+                st_, ls_ = run(dict(s0, p=s0["p"] * (1.0 + 1e-4 * (i + 1))))
+            block(ls_)
+            out["st"] = st_
+            return (time.perf_counter() - t0) / max(args.reps, 1)
+
+        # coarse phases shrink per-iteration cost at most ~16x (stride 4);
+        # a schedule can also never be slower than ~4x the single-phase
+        # program (round 4 shipped a 3,700x-fast glitch here unflagged)
+        t_s = gated_seconds(name, measure, t_refine / 16.0, 4.0 * t_refine)
+        st_s = out["st"]
         pos_err_s = float(jnp.linalg.norm(st_s["p"] - true_p)) * 1000
         # every schedule must converge like the single-phase program
         assert pos_err_s < 3 * max(pos_err_last, 2.0), (
@@ -545,14 +618,23 @@ def main():
         }
         refine_b = jax.jit(jax.vmap(refine))
         block(refine_b(batch0)[1])
-        block(refine_b(dict(batch0, p=batch0["p"] * 0.9999))[1])
-        t0 = time.perf_counter()
-        for i in range(max(args.reps, 1)):
-            _, lsb = refine_b(
-                dict(batch0, p=batch0["p"] * (1.0 + 1e-4 * (i + 1)))
-            )
-        block(lsb)
-        t_b = (time.perf_counter() - t0) / max(args.reps, 1)
+
+        def measure():
+            block(refine_b(dict(batch0, p=batch0["p"] * 0.9999))[1])
+            t0 = time.perf_counter()
+            for i in range(max(args.reps, 1)):
+                _, lsb = refine_b(
+                    dict(batch0, p=batch0["p"] * (1.0 + 1e-4 * (i + 1)))
+                )
+            block(lsb)
+            return (time.perf_counter() - t0) / max(args.reps, 1)
+
+        # a batch of n_hyp refinements costs at least one refinement and
+        # at most ~4x n_hyp sequential ones
+        t_b = gated_seconds(
+            "hypothesis_batch", measure,
+            0.5 * t_refine, 4.0 * n_hyp * t_refine,
+        )
         return n_hyp * args.refine_iters / t_b
 
     hyp_iters_per_sec = (
@@ -588,14 +670,27 @@ def main():
         run_b = jax.jit(jax.vmap(one))
         st_b, ls_b = run_b(batch0)
         block(ls_b)
-        block(run_b(dict(batch0, p=batch0["p"] * 0.9999))[1])
-        t0 = time.perf_counter()
-        for i in range(max(args.reps, 1)):
-            st_b, ls_b = run_b(
-                dict(batch0, p=batch0["p"] * (1.0 + 1e-4 * (i + 1)))
-            )
-        block(ls_b)
-        t_b = (time.perf_counter() - t0) / max(args.reps, 1)
+        out = {}
+
+        def measure():
+            block(run_b(dict(batch0, p=batch0["p"] * 0.9999))[1])
+            t0 = time.perf_counter()
+            for i in range(max(args.reps, 1)):
+                st_, ls_ = run_b(
+                    dict(batch0, p=batch0["p"] * (1.0 + 1e-4 * (i + 1)))
+                )
+            block(ls_)
+            out["st"] = st_
+            return (time.perf_counter() - t0) / max(args.reps, 1)
+
+        # batched production: cheaper per hypothesis than full-frame (the
+        # coarse/ROI raster shrink), never below 1/16th of one full-frame
+        # refinement total, never above ~4x n_hyp sequential ones
+        t_b = gated_seconds(
+            "batched_production", measure,
+            t_refine / 16.0, 4.0 * n_hyp * t_refine,
+        )
+        st_b = out["st"]
         # every hypothesis starts ~where s0 does; all must converge
         errs = np.linalg.norm(
             np.asarray(st_b["p"]) - np.asarray(true_p), axis=-1
@@ -760,14 +855,29 @@ def main():
         }
         st_t, ls_t = refine_t(st0)
         block(ls_t)
-        block(refine_t(dict(st0, position=st0["position"] * 0.9999))[1])
-        t0 = time.perf_counter()
-        for i in range(max(args.reps, 1)):
-            st_t, ls_t = refine_t(
-                dict(st0, position=st0["position"] * (1.0 + 1e-4 * (i + 1)))
-            )
-        block(ls_t)
-        t_t = (time.perf_counter() - t0) / max(args.reps, 1)
+        out = {}
+
+        def measure():
+            block(refine_t(dict(st0, position=st0["position"] * 0.9999))[1])
+            t0 = time.perf_counter()
+            for i in range(max(args.reps, 1)):
+                st_, ls_ = refine_t(
+                    dict(st0,
+                         position=st0["position"] * (1.0 + 1e-4 * (i + 1)))
+                )
+            block(ls_)
+            out["st"] = st_
+            return (time.perf_counter() - t0) / max(args.reps, 1)
+
+        # production schedule at t_iters budget through the decoder: per
+        # iteration it adds the decoder fwd+bwd to the march, so the band
+        # spans [1/16th of, 20x] the equal-budget full-frame time
+        t_t = gated_seconds(
+            "trained_vae_refine", measure,
+            (t_iters / args.refine_iters) * t_refine / 16.0,
+            (t_iters / args.refine_iters) * t_refine * 20.0,
+        )
+        st_t = out["st"]
         # near-surface shape residual of the recovered latent (grid units)
         band = jnp.abs(sdf_true) < 0.1
         sdf_rec = decode(st_t["latent"])
@@ -833,8 +943,13 @@ def main():
 
         import sdfest_tpu as _pkg
 
-        # package-anchored repo root (robust to exec()/runpy invocation)
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        # repo root: explicit SDFEST_TPU_REPO override first (a
+        # site-packages install's package parent holds no trained_models/
+        # tree), package-anchored parent as the in-repo/editable default
+        # (robust to exec()/runpy invocation)
+        repo = os.environ.get("SDFEST_TPU_REPO") or os.path.dirname(
+            os.path.dirname(os.path.abspath(_pkg.__file__))
+        )
         mcfg = load_config(
             {
                 "config": [
@@ -878,6 +993,9 @@ def main():
         def batch_sums(state, batch):
             _, position, scale, orientation = trainer.predict(state, batch["pointset"])
             v = batch["valid"].astype(jnp.float32)
+            # reference decode semantics (initialization/scripts/
+            # train.py:344-363): argmax cell -> grid.index_to_quat ->
+            # geodesic vs the GT quaternion, no symmetry folding
             pred_q = jnp.asarray(trainer.grid_quats)[
                 jnp.argmax(orientation, axis=-1)
             ]

@@ -49,6 +49,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "gaussian_noise_kernel_size": 5,
     "gaussian_noise_kernel_std": 1,
     "num_points": 2500,
+    # fraction of the image over which object centers are sampled (1.0 =
+    # the reference's full-frame U(-W/2, W/2) x U(-H/2, H/2); <1 keeps the
+    # object away from the frame border so close-range recipes don't crop
+    # the orientation-bearing geometry out of view)
+    "center_frac": 1.0,
     "pointcloud": True,
     "relaxation": 1.0,  # >1: relaxed sphere tracing for generation renders
     "coarse_culling": True,  # hierarchical empty-space culling (pallas)
@@ -232,13 +237,14 @@ class SDFVAEViewDataset:
         )[0, 0]
 
         z = jax.random.uniform(keys[1], (), minval=self._z_min, maxval=self._z_max, dtype=jnp.float32)
+        cf = cfg["center_frac"]
         x_pix = jax.random.uniform(
-            keys[2], (), minval=-self.camera.width / 2, maxval=self.camera.width / 2,
-            dtype=jnp.float32,
+            keys[2], (), minval=-cf * self.camera.width / 2,
+            maxval=cf * self.camera.width / 2, dtype=jnp.float32,
         )
         y_pix = jax.random.uniform(
-            keys[3], (), minval=-self.camera.height / 2, maxval=self.camera.height / 2,
-            dtype=jnp.float32,
+            keys[3], (), minval=-cf * self.camera.height / 2,
+            maxval=cf * self.camera.height / 2, dtype=jnp.float32,
         )
         position = jnp.stack(
             [x_pix / self.camera.fx * z, y_pix / self.camera.fy * z, -z]

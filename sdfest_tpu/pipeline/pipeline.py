@@ -301,6 +301,23 @@ class SDFPipeline:
         static options, then performs the ONE blocking sync of the init path
         (the validity scalar -> :class:`NoDepthError`).
         """
+        self._validate_init_options(prior_orientation_distribution)
+        latent, position, scale, orientation, ok = self._nn_init_views(
+            depth_images,
+            camera_positions,
+            camera_orientations,
+            key,
+            prior_orientation_distribution,
+            training_orientation_distribution,
+        )
+        if not bool(ok):
+            raise NoDepthError
+        return latent, position, scale, orientation
+
+    def _validate_init_options(self, prior_orientation_distribution) -> None:
+        """Static init-option validation shared by the legacy and fused
+        call paths (the reference validates in its setup ctor,
+        simple_setup.py:213-260)."""
         if (
             prior_orientation_distribution is not None
             and self.orientation_repr != "discretized"
@@ -323,17 +340,6 @@ class SDFPipeline:
             raise NotImplementedError(
                 'Only "first" and "best" init strategies are supported'
             )
-        latent, position, scale, orientation, ok = self._nn_init_views(
-            depth_images,
-            camera_positions,
-            camera_orientations,
-            key,
-            prior_orientation_distribution,
-            training_orientation_distribution,
-        )
-        if not bool(ok):
-            raise NoDepthError
-        return latent, position, scale, orientation
 
     def _make_optimizer(self) -> optax.GradientTransformation:
         lrs = {
@@ -754,6 +760,26 @@ class SDFPipeline:
         ROI does — the crop render is still exactly a crop of the strided
         render, so the optimization problem is unchanged.
         """
+        d = np.asarray(depth_images > 0)
+        spans = []
+        for v in range(d.shape[0]):
+            ys, xs = np.nonzero(d[v])
+            if ys.size == 0:
+                continue
+            spans.append((ys.max() - ys.min() + 1, xs.max() - xs.min() + 1))
+        return self._roi_from_spans(spans, factor)
+
+    def _roi_from_spans(
+        self, spans, factor: int = 1
+    ) -> Optional[Tuple[int, int]]:
+        """ROI policy on precomputed per-view bbox spans ``(sy, sx)``.
+
+        The decision core of :meth:`_roi_for`, shared with the fused
+        single-dispatch path (:meth:`_probe` computes the spans on-device
+        so the whole call needs only one tiny host read).  ``spans`` holds
+        one entry per view WITH observed pixels; empty views never
+        constrain the fit (matching :meth:`_roi_for`, which skips them).
+        """
         roi_cfg = self.config.get("roi_size")
         if not roi_cfg or self._use_temporal_coherence():
             return None
@@ -776,13 +802,6 @@ class SDFPipeline:
             candidates = [
                 (align(roi_cfg[0] / factor), align(roi_cfg[1] / factor))
             ]
-        d = np.asarray(depth_images > 0)
-        spans = []
-        for v in range(d.shape[0]):
-            ys, xs = np.nonzero(d[v])
-            if ys.size == 0:
-                continue
-            spans.append((ys.max() - ys.min() + 1, xs.max() - xs.min() + 1))
         for rh, rw in candidates:
             if rh > h or rw > w:
                 continue
@@ -930,6 +949,135 @@ class SDFPipeline:
             return None
         return depth_coarse, points_c, point_masks_c, roi_c
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _probe(self, depth_images: jax.Array, masks: jax.Array):
+        """Tiny pre-flight program for the fused single-dispatch call.
+
+        Returns ``(per_view_valid (V,), spans (V, 2) int32)`` of the
+        preprocessed observation: everything the host needs to (a) raise
+        :class:`NoDepthError` exactly like the legacy path and (b) resolve
+        the static execution plan (ROI sizes, viable multires levels) —
+        in ONE small device round trip instead of one per phase.
+        """
+        depth = self._preprocess_depth(depth_images, masks)
+        d = depth > 0
+        per_view_valid = jnp.any(d, axis=(1, 2))
+
+        def span(b):  # (V, N) occupancy -> (V,) bbox span
+            n = b.shape[1]
+            idx = jnp.arange(n)
+            mx = jnp.max(jnp.where(b, idx, -1), axis=1)
+            mn = jnp.min(jnp.where(b, idx, n), axis=1)
+            return jnp.maximum(mx - mn + 1, 0).astype(jnp.int32)
+
+        spans = jnp.stack(
+            [span(jnp.any(d, axis=2)), span(jnp.any(d, axis=1))], axis=-1
+        )
+        return per_view_valid, spans
+
+    def _plan_for(self, spans) -> Tuple:
+        """Static execution plan from the probe's bbox spans.
+
+        ``spans``: per-view ``(sy, sx)`` tuples for views with observed
+        pixels.  Returns ``(levels, fine_roi, fine_iters)`` with ``levels``
+        a tuple of ``(factor, n_iters, roi_or_None)`` — hashable, so it
+        keys the fused program's compilation cache.  Mirrors the legacy
+        per-phase gating exactly, except the strided span is the analytic
+        upper bound ``(s - 1) // f + 1`` (the strided bbox can be one
+        pixel tighter depending on alignment; the bound only ever falls
+        back to a LARGER crop, never misses the object).
+        """
+        levels = []
+        executed = 0
+        for factor, n_iters in _normalize_multires(self._multires_for()):
+            spans_c = [
+                ((sy - 1) // factor + 1, (sx - 1) // factor + 1)
+                for sy, sx in spans
+            ]
+            roi_c = self._roi_from_spans(spans_c, factor)
+            if roi_c is None and self._strided_needs_roi(factor):
+                continue
+            levels.append((factor, n_iters, roi_c))
+            executed += n_iters
+        fine_roi = self._roi_from_spans(spans, 1)
+        fine_iters = (
+            int(self.config["max_iterations"]) - executed if executed
+            else None
+        )
+        return tuple(levels), fine_roi, fine_iters
+
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9))
+    def _fused_program(
+        self,
+        depth_images: jax.Array,
+        masks: jax.Array,
+        camera_positions: jax.Array,
+        camera_orientations: jax.Array,
+        key: jax.Array,
+        priors,  # (prior_orientation_distribution, training_orientation_distribution)
+        point_constraint,
+        plan: Tuple,
+        shape_optimization: bool,
+    ):
+        """The WHOLE estimate as one XLA program (fused single-dispatch).
+
+        Preprocess -> init network (all views) -> every refinement phase
+        (multires levels, ROI fine finish, early stop) traced back to
+        back, so a full :meth:`__call__` costs exactly two dispatches (the
+        :meth:`_probe` pre-flight and this) regardless of the schedule —
+        on a high-latency link (the reference protocol's per-object wall,
+        real_data.py:286-319) the dispatch overhead no longer scales with
+        the phase count.  The per-phase building blocks are the SAME
+        jitted methods the legacy path runs (jit-of-jit inlines), so the
+        trajectory is identical up to XLA fusion-order rounding.
+        """
+        prior, training_prior = priors
+        depth = self._preprocess_depth(depth_images, masks)
+        latent, position, scale, orientation, _ = self._nn_init_views(
+            depth, camera_positions, camera_orientations, key,
+            prior, training_prior,
+        )
+        state = {
+            "position": position,
+            "orientation": orientation,
+            "scale": scale,
+            "latent": latent,
+        }
+        levels, fine_roi, fine_iters = plan
+        coarse_logs = []
+        for factor, n_iters, roi_c in levels:
+            depth_c, points_c, point_masks_c = self._multires_inputs(
+                depth, factor
+            )
+            state, _, lg = self._refine(
+                state, depth_c, points_c, point_masks_c,
+                camera_positions, camera_orientations,
+                shape_optimization, point_constraint, roi_c, factor,
+                n_iters,
+            )
+            coarse_logs.append(lg)
+        n_views = depth.shape[0]
+        if fine_roi is None:
+            points, point_masks = jax.vmap(
+                lambda d: pointset.depth_to_pointcloud_dense(
+                    d, self.camera, order="tile"
+                )
+            )(depth)
+        else:
+            points = jnp.zeros((n_views, 1, 3), jnp.float32)
+            point_masks = jnp.zeros((n_views, 1), jnp.float32)
+        state, best, log = self._refine(
+            state, depth, points, point_masks,
+            camera_positions, camera_orientations,
+            shape_optimization, point_constraint, fine_roi, 1, fine_iters,
+        )
+        if coarse_logs:
+            log = {
+                k: jnp.concatenate([lg[k] for lg in coarse_logs] + [log[k]])
+                for k in log
+            }
+        return state, best, log, depth
+
     def _use_temporal_coherence(self) -> bool:
         """Whether refinement renders can use warm-started marching."""
         from sdfest_tpu.render import resolve_backend
@@ -1049,100 +1197,150 @@ class SDFPipeline:
         if key is None:
             key = jax.random.PRNGKey(0)
 
-        depth_images = self._preprocess_depth(
-            jnp.asarray(depth_images, dtype=jnp.float32), jnp.asarray(masks)
-        )
-        if not bool(jnp.any(depth_images > 0)):
-            raise NoDepthError
-
-        latent, position, scale, orientation = self._nn_init(
-            depth_images,
-            camera_positions,
-            camera_orientations,
-            key,
-            prior_orientation_distribution,
-            training_orientation_distribution,
-        )
-
-        # lift all views to dense point clouds once (pc loss inputs).  Tile
-        # order keeps the Pallas pc-loss sampler on its windowed fast path;
-        # the loss is an order-invariant mean.  With an active ROI the
-        # refinement re-lifts from the crops and ignores these, so skip the
-        # full-raster lift (placeholders keep the _refine signature).
-        roi = self._roi_for(depth_images)
-        if roi is None:
-            points, point_masks = jax.vmap(
-                lambda d: pointset.depth_to_pointcloud_dense(
-                    d, self.camera, order="tile"
-                )
-            )(depth_images)
+        if bool(self.config.get("fused_call", True)):
+            # FUSED single-dispatch path (default): one tiny pre-flight
+            # program resolves validity + the static plan, then init and
+            # every refinement phase run as ONE XLA program — two device
+            # round trips per call total, however many phases the
+            # schedule has (the legacy path below pays one per phase,
+            # which dominates the per-object wall on high-latency links).
+            self._validate_init_options(prior_orientation_distribution)
+            per_view_valid, spans_dev = self._probe(
+                jnp.asarray(depth_images, dtype=jnp.float32),
+                jnp.asarray(masks),
+            )
+            per_view_valid, spans_np = jax.device_get(
+                (per_view_valid, spans_dev)
+            )  # the call's ONE blocking host sync
+            init_view = self.config.get("init_view", "first")
+            ok = (
+                bool(per_view_valid[0]) if init_view == "first"
+                else bool(per_view_valid.all())
+            )
+            if not ok:
+                raise NoDepthError
+            spans = [
+                (int(sy), int(sx))
+                for (sy, sx), v in zip(spans_np, per_view_valid) if v
+            ]
+            plan = self._plan_for(spans)
+            state, best, log, depth_images = self._fused_program(
+                jnp.asarray(depth_images, dtype=jnp.float32),
+                jnp.asarray(masks),
+                camera_positions,
+                camera_orientations,
+                key,
+                (prior_orientation_distribution,
+                 training_orientation_distribution),
+                point_constraint,
+                plan,
+                shape_optimization,
+            )
+            boundaries = []
+            executed = 0
+            for _, n_iters, _ in plan[0]:
+                executed += n_iters
+                boundaries.append(executed)
         else:
-            points = jnp.zeros((n_views, 1, 3), jnp.float32)
-            point_masks = jnp.zeros((n_views, 1), jnp.float32)
+            depth_images = self._preprocess_depth(
+                jnp.asarray(depth_images, dtype=jnp.float32),
+                jnp.asarray(masks),
+            )
+            if not bool(jnp.any(depth_images > 0)):
+                raise NoDepthError
 
-        state = {
-            "position": position,
-            "orientation": orientation,
-            "scale": scale,
-            "latent": latent,
-        }
-        # coarse-to-fine: run the first iterations against strided
-        # sub-observations (identical rays, ~1/f^2 the active march tiles
-        # per level), then finish at full resolution.  Best-inlier tracking
-        # runs over the fine phase only (coarse-raster inlier ratios are
-        # not comparable with full-raster ones); each level hands over via
-        # the running state.
-        coarse_logs = []
-        boundaries = []
-        executed = 0
-        for factor, n_iters in _normalize_multires(self._multires_for()):
-            # each coarse level composes with a (stride-scaled) ROI as
-            # well: its raster-proportional costs shrink the same way the
-            # fine phase's do, and the crop render is still exactly a crop
-            # of the strided render
-            phase = self._coarse_phase(depth_images, factor)
-            if phase is None:
-                # level not viable for THESE inputs (object does not fit an
-                # aligned ROI): its budget folds into the remaining phases
-                continue
-            depth_coarse, points_c, point_masks_c, roi_c = phase
-            state, _, lg = self._refine(
+            latent, position, scale, orientation = self._nn_init(
+                depth_images,
+                camera_positions,
+                camera_orientations,
+                key,
+                prior_orientation_distribution,
+                training_orientation_distribution,
+            )
+
+            # lift all views to dense point clouds once (pc loss inputs).
+            # Tile order keeps the Pallas pc-loss sampler on its windowed
+            # fast path; the loss is an order-invariant mean.  With an
+            # active ROI the refinement re-lifts from the crops and
+            # ignores these, so skip the full-raster lift (placeholders
+            # keep the _refine signature).
+            roi = self._roi_for(depth_images)
+            if roi is None:
+                points, point_masks = jax.vmap(
+                    lambda d: pointset.depth_to_pointcloud_dense(
+                        d, self.camera, order="tile"
+                    )
+                )(depth_images)
+            else:
+                points = jnp.zeros((n_views, 1, 3), jnp.float32)
+                point_masks = jnp.zeros((n_views, 1), jnp.float32)
+
+            state = {
+                "position": position,
+                "orientation": orientation,
+                "scale": scale,
+                "latent": latent,
+            }
+            # coarse-to-fine: run the first iterations against strided
+            # sub-observations (identical rays, ~1/f^2 the active march
+            # tiles per level), then finish at full resolution.
+            # Best-inlier tracking runs over the fine phase only
+            # (coarse-raster inlier ratios are not comparable with
+            # full-raster ones); each level hands over via the running
+            # state.
+            coarse_logs = []
+            boundaries = []
+            executed = 0
+            for factor, n_iters in _normalize_multires(self._multires_for()):
+                # each coarse level composes with a (stride-scaled) ROI as
+                # well: its raster-proportional costs shrink the same way
+                # the fine phase's do, and the crop render is still
+                # exactly a crop of the strided render
+                phase = self._coarse_phase(depth_images, factor)
+                if phase is None:
+                    # level not viable for THESE inputs (object does not
+                    # fit an aligned ROI): its budget folds into the
+                    # remaining phases
+                    continue
+                depth_coarse, points_c, point_masks_c, roi_c = phase
+                state, _, lg = self._refine(
+                    state,
+                    depth_coarse,
+                    points_c,
+                    point_masks_c,
+                    camera_positions,
+                    camera_orientations,
+                    shape_optimization,
+                    point_constraint,
+                    roi_c,
+                    factor,
+                    n_iters,
+                )
+                coarse_logs.append(lg)
+                executed += n_iters
+                boundaries.append(executed)
+            fine_iters = (
+                int(self.config["max_iterations"]) - executed
+                if executed else None
+            )
+            state, best, log = self._refine(
                 state,
-                depth_coarse,
-                points_c,
-                point_masks_c,
+                depth_images,
+                points,
+                point_masks,
                 camera_positions,
                 camera_orientations,
                 shape_optimization,
                 point_constraint,
-                roi_c,
-                factor,
-                n_iters,
+                roi,
+                1,
+                fine_iters,
             )
-            coarse_logs.append(lg)
-            executed += n_iters
-            boundaries.append(executed)
-        fine_iters = (
-            int(self.config["max_iterations"]) - executed if executed else None
-        )
-        state, best, log = self._refine(
-            state,
-            depth_images,
-            points,
-            point_masks,
-            camera_positions,
-            camera_orientations,
-            shape_optimization,
-            point_constraint,
-            roi,
-            1,
-            fine_iters,
-        )
-        if coarse_logs:
-            log = {
-                k: jnp.concatenate([lg[k] for lg in coarse_logs] + [log[k]])
-                for k in log
-            }
+            if coarse_logs:
+                log = {
+                    k: jnp.concatenate([lg[k] for lg in coarse_logs] + [log[k]])
+                    for k in log
+                }
 
         if log_path is not None or animation_path is not None:
             log_np = {k: np.asarray(v) for k, v in log.items()}

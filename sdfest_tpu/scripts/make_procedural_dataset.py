@@ -21,23 +21,35 @@ import os
 
 import numpy as np
 
-from sdfest_tpu.utils.scenes import make_mug_family_sdf, sample_mug_family
+from sdfest_tpu.utils.scenes import (
+    make_bowl_family_sdf,
+    make_mug_family_sdf,
+    sample_bowl_family,
+    sample_mug_family,
+)
+
+FAMILIES = {
+    "mug": (make_mug_family_sdf, sample_mug_family),
+    "bowl": (make_bowl_family_sdf, sample_bowl_family),
+}
 
 
 def generate(out: str, n: int, res: int = 64, seed: int = 0,
-             dtype: str = "float16", export_meshes: bool = False) -> list:
-    """Write ``n`` mug-family SDF grids to ``out``; returns the params list.
+             dtype: str = "float16", export_meshes: bool = False,
+             category: str = "mug") -> list:
+    """Write ``n`` shape-family SDF grids to ``out``; returns the params list.
 
     ``float16`` storage halves the footprint; values span ~[-2, 2] with a
     surface band ~1/res, well inside fp16 range/precision (SDFDataset
     casts back to float32 on load).
     """
+    make_sdf, sample_params = FAMILIES[category]
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
     all_params = []
     for i in range(n):
-        params = sample_mug_family(rng)
-        sdf = make_mug_family_sdf(res, **params)
+        params = sample_params(rng)
+        sdf = make_sdf(res, **params)
         np.save(os.path.join(out, f"{i:05d}.npy"), sdf.astype(dtype))
         if export_meshes:
             # .obj alongside: the rendering_evaluation harness consumes
@@ -54,7 +66,11 @@ def generate(out: str, n: int, res: int = 64, seed: int = 0,
                 )
         all_params.append(params)
     with open(os.path.join(out, "params.json"), "w") as f:
-        json.dump({"seed": seed, "res": res, "n": n, "params": all_params}, f)
+        json.dump(
+            {"seed": seed, "res": res, "n": n, "category": category,
+             "params": all_params},
+            f,
+        )
     return all_params
 
 
@@ -70,9 +86,13 @@ def main() -> None:
         "--export_meshes", action="store_true",
         help="also write %%05d.obj isosurface meshes (held-out eval sets)",
     )
+    parser.add_argument(
+        "--category", choices=sorted(FAMILIES), default="mug",
+        help="procedural shape family",
+    )
     args = parser.parse_args()
     generate(args.out, args.n, args.res, args.seed,
-             export_meshes=args.export_meshes)
+             export_meshes=args.export_meshes, category=args.category)
     print(f"Wrote {args.n} {args.res}^3 SDF grids to {args.out}")
 
 

@@ -96,9 +96,12 @@ class Trainer:
 
     # -- data --------------------------------------------------------------
 
-    def _create_dataset(self, name: str, spec: dict):
+    def _create_dataset(self, name: str, spec: dict, seed_offset: int = 0):
         # accept fully-qualified reference-style paths
         # (e.g. sdfest.initialization.datasets.nocs_dataset.NOCSDataset)
+        # seed_offset (= the resume iteration) decorrelates a resumed
+        # run's data stream from the replaced segment's on EVERY loader
+        # type, not just the chained generated stream
         dtype = spec["type"].split(".")[-1]
         cfg = dict(spec.get("config_dict", {}))
         if dtype == "SDFVAEViewDataset":
@@ -111,7 +114,9 @@ class Trainer:
             # process and would make the generated data stream — and thus
             # the whole run — irreproducible)
             seed = zlib.crc32(name.encode()) % 2**31
-            return _GeneratedLoader(dataset, self._batch_size, seed=seed)
+            return _GeneratedLoader(
+                dataset, self._batch_size, seed=seed, seed_offset=seed_offset
+            )
         if dtype == "NOCSDataset":
             from sdfest_tpu.datasets.nocs_dataset import NOCSDataset
 
@@ -126,9 +131,10 @@ class Trainer:
             dataset,
             self._batch_size,
             collate=make_fixed_size_collate(self._num_points),
+            seed=seed_offset,
         )
 
-    def _create_multi_data_loader(self) -> MultiDataLoader:
+    def _create_multi_data_loader(self, seed_offset: int = 0) -> MultiDataLoader:
         # zero-probability datasets are never sampled — skip construction
         # so configs mixing in disabled real-data loaders (e.g. the
         # generated-only demonstration recipes) run without the NOCS /
@@ -138,7 +144,7 @@ class Trainer:
             p = spec.get("probability", 1.0)
             if p <= 0.0:
                 continue
-            loaders.append(self._create_dataset(name, spec))
+            loaders.append(self._create_dataset(name, spec, seed_offset))
             probabilities.append(p)
         return MultiDataLoader(loaders, probabilities)
 
@@ -192,11 +198,6 @@ class Trainer:
         return mean
 
     def run(self) -> dict:
-        data_loader = self._create_multi_data_loader()
-        validation_loaders = self._create_validation_loaders()
-        from sdfest_tpu.utils.logging import make_logger
-
-        writer = make_logger(self._config, self._run_name)
         validation_iteration = self._init_config.get("validation_iteration", 0)
         checkpoint_iteration = self._init_config.get("checkpoint_iteration", 0)
 
@@ -224,6 +225,24 @@ class Trainer:
                 self.state, meta = ckpt.load_checkpoint(path, self.state)
                 start_iteration = int(meta.get("iteration", it))
                 print(f"Resumed from {path} at iteration {start_iteration}")
+                # the interrupted segment already wrote scalar rows past
+                # the checkpoint we restart from; drop them so the csv
+                # holds exactly one row per (step, name) and windowed
+                # aggregates around milestones stay unbiased
+                _trim_scalar_csv(
+                    self._config.get("scalar_csv"), start_iteration
+                )
+
+        # loaders AFTER resume so every stream (chained, generated-loader,
+        # host ShuffledLoader) folds the resume point into its seed and a
+        # resumed run does not retrain on the replaced segment's samples
+        data_loader = self._create_multi_data_loader(
+            seed_offset=start_iteration
+        )
+        validation_loaders = self._create_validation_loaders()
+        from sdfest_tpu.utils.logging import make_logger
+
+        writer = make_logger(self._config, self._run_name)
 
         # chained dispatches (steps_per_dispatch > 1): only for a single
         # active on-device generated stream — host loaders can't be traced
@@ -242,12 +261,54 @@ class Trainer:
                 "falling back to per-step dispatch"
             )
             spd = 1
+        # replay-buffer mode (replay_buffer_size > 0): decouple the
+        # training rate from the render-bound generation rate — each
+        # chained unit renders one fresh gen batch into a device-resident
+        # ring and takes replay_train_steps optimizer steps (at
+        # replay_train_batch) on uniform draws from it.  See
+        # InitTrainer.make_replay_chained_step.  Same eligibility rule as
+        # plain chaining (a single on-device generated stream).
+        replay_capacity = int(
+            self._init_config.get("replay_buffer_size", 0) or 0
+        )
+        if replay_capacity > 0 and (
+            len(active) != 1 or active[0] not in self._generated_datasets
+        ):
+            print(
+                "replay_buffer_size requires a single generated dataset; "
+                "falling back to fresh-stream training"
+            )
+            replay_capacity = 0
         chained = None
-        if spd > 1:
+        replay_buffer = None
+        if replay_capacity > 0:
+            dataset = self._generated_datasets[active[0]]
+            t_train = int(
+                self._init_config.get("replay_train_steps", 10) or 10
+            )
+            train_batch = int(
+                self._init_config.get("replay_train_batch", 64)
+                or self._batch_size
+            )
+            replay_buffer = self.trainer.init_replay_buffer(
+                replay_capacity, self._num_points,
+                self._vae_config["latent_size"],
+            )
+            chained = self.trainer.make_replay_chained_step(
+                dataset, self._batch_size, train_batch, t_train,
+                max(spd, 1),
+            )
+            steps_per_call = max(spd, 1) * t_train
+            chain_key = jax.random.fold_in(
+                jax.random.PRNGKey(zlib.crc32(active[0].encode()) % 2**31),
+                1 + start_iteration,
+            )
+        elif spd > 1:
             dataset = self._generated_datasets[active[0]]
             chained = self.trainer.make_chained_step(
                 dataset, self._batch_size, spd
             )
+            steps_per_call = spd
             # distinct stream from the loader's (fold_in), still seeded;
             # folding in start_iteration keeps a resumed run's data
             # stream disjoint from the segment it replaced
@@ -266,11 +327,18 @@ class Trainer:
         start = time.time()
         iteration = start_iteration
         while iteration < self._iterations:
-            if chained is not None:
+            if chained is not None and replay_buffer is not None:
+                chain_key, sub = jax.random.split(chain_key)
+                (self.state, replay_buffer), stacked = chained(
+                    self.state, replay_buffer, sub
+                )
+                got = jax.device_get(stacked)
+                chunk = steps_per_call
+            elif chained is not None:
                 chain_key, sub = jax.random.split(chain_key)
                 self.state, stacked = chained(self.state, sub)
                 got = jax.device_get(stacked)
-                chunk = spd
+                chunk = steps_per_call
             else:
                 batch = next(data_loader)
                 batch = {
@@ -329,32 +397,64 @@ class Trainer:
         return {"model": model_path, "config": config_path, "state": self.state}
 
     def _validate(self, validation_loaders, writer, iteration) -> None:
+        # average over validation_batches batches (default 4): a single
+        # batch-16 sample is too noisy to support held-out claims about
+        # the hard heads (orientation CE / geodesic)
+        n_batches = int(self._init_config.get("validation_batches", 4) or 1)
         for name, loader in validation_loaders.items():
-            batch = next(iter(loader))
-            batch = {
-                k: jnp.asarray(v)
-                for k, v in batch.items()
-                if k in ("pointset", "latent_shape", "position", "scale",
-                         "orientation", "quaternion")
-            }
-            if "latent_shape" not in batch:
-                batch["latent_shape"] = jnp.zeros(
-                    (batch["pointset"].shape[0], self._vae_config["latent_size"])
-                )
-            metrics = self.trainer.compute_metrics(self.state, batch)
+            it = iter(loader)
+            accum: Dict[str, float] = {}
+            for _ in range(n_batches):
+                batch = next(it)
+                batch = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if k in ("pointset", "latent_shape", "position", "scale",
+                             "orientation", "quaternion")
+                }
+                if "latent_shape" not in batch:
+                    batch["latent_shape"] = jnp.zeros(
+                        (batch["pointset"].shape[0],
+                         self._vae_config["latent_size"])
+                    )
+                for metric_name, value in self.trainer.compute_metrics(
+                    self.state, batch
+                ).items():
+                    accum[metric_name] = accum.get(metric_name, 0.0) + value
+            metrics = {k: v / n_batches for k, v in accum.items()}
             print(f"Validation [{name}] @ {iteration}: {metrics}")
             if writer is not None:
                 for metric_name, value in metrics.items():
                     writer.add_scalar(f"val/{name}/{metric_name}", value, iteration)
 
 
+def _trim_scalar_csv(path, start_iteration: int) -> None:
+    """Drop csv rows past the resume point (they belong to the replaced
+    segment of an interrupted run and would duplicate the re-run steps)."""
+    if not path or not os.path.isfile(path):
+        return
+    with open(path) as f:
+        header = f.readline()
+        kept = [
+            line
+            for line in f
+            if line.strip() and int(line.split(",", 1)[0]) <= start_iteration
+        ]
+    with open(path, "w") as f:
+        f.write(header)
+        f.writelines(kept)
+
+
 class _GeneratedLoader:
     """Adapter: jitted sample generator -> batch iterator interface."""
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0):
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 seed_offset: int = 0):
         self._dataset = dataset
         self._batch_size = batch_size
-        self._key = jax.random.PRNGKey(seed)
+        self._key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), seed_offset
+        ) if seed_offset else jax.random.PRNGKey(seed)
 
     def __iter__(self):
         return self

@@ -48,6 +48,7 @@ def train(config: dict) -> dict:
         print(f"Resumed from {config['checkpoint']} at iteration {current_iteration}")
 
     n_devices = jax.local_device_count()
+    chained = None
     if n_devices > 1 and batch_size % n_devices == 0:
         from sdfest_tpu.parallel import (
             make_mesh, shard_map_data_parallel_step,
@@ -63,6 +64,30 @@ def train(config: dict) -> dict:
         print(f"Data-parallel training over {n_devices} devices.")
     else:
         step_fn = trainer.train_step
+        # chained dispatches on a device-resident dataset
+        # (steps_per_dispatch > 1): see VAETrainer.make_chained_step.
+        # Gated on the dataset actually fitting in device memory.
+        spd = int(config.get("steps_per_dispatch", 1) or 1)
+        max_mb = float(config.get("device_dataset_max_mb", 2048))
+        if spd > 1:
+            sample_bytes = 4 * int(np.prod(np.asarray(dataset[0]).shape))
+            total_mb = len(dataset) * sample_bytes / 1e6
+            if total_mb <= max_mb:
+                data_dev = jnp.asarray(
+                    np.stack([dataset[i] for i in range(len(dataset))])
+                )
+                chained = trainer.make_chained_step(
+                    data_dev, batch_size, spd
+                )
+                print(
+                    f"Device-resident dataset ({total_mb:.0f} MB), "
+                    f"{spd} steps per dispatch."
+                )
+            else:
+                print(
+                    f"dataset {total_mb:.0f} MB > device_dataset_max_mb "
+                    f"{max_mb:.0f}; falling back to per-step dispatch"
+                )
 
     from sdfest_tpu.utils.logging import make_logger
 
@@ -73,28 +98,58 @@ def train(config: dict) -> dict:
     start = time.time()
 
     while current_iteration < iterations:
-        batch = jnp.asarray(next(batches))
-        key, subkey = jax.random.split(key)
-        state, metrics = step_fn(state, batch, subkey)
-        current_iteration += 1
+        if chained is not None:
+            key, subkey = jax.random.split(key)
+            state, stacked = chained(state, subkey)
+            got = jax.device_get(stacked)
+            chunk = len(got["loss"])
+            batch = None
+        else:
+            batch = jnp.asarray(next(batches))
+            key, subkey = jax.random.split(key)
+            state, metrics = step_fn(state, batch, subkey)
+            got = {k: [float(v)] for k, v in metrics.items()}
+            chunk = 1
 
-        if writer is not None and current_iteration % 20 == 0:
-            for name, value in metrics.items():
-                writer.add_scalar(name, float(value), current_iteration)
-        if current_iteration % 100 == 0 or current_iteration == iterations:
-            print(
-                f"Iteration {current_iteration}/{iterations} "
-                f"loss {float(metrics['loss']):.4f}"
-            )
-        if visualization_iteration and current_iteration % visualization_iteration == 0:
-            _log_visualizations(writer, trainer, state, batch, key, current_iteration)
-        if checkpoint_iteration and current_iteration % checkpoint_iteration == 0:
-            ckpt.save_checkpoint(
-                os.path.join(model_dir, f"{current_iteration}.ckpt"),
-                state,
-                current_iteration,
-                run_name,
-            )
+        for j in range(chunk):
+            current_iteration += 1
+            if writer is not None and current_iteration % 20 == 0:
+                for name, value in got.items():
+                    writer.add_scalar(
+                        name, float(value[j]), current_iteration
+                    )
+            if (
+                current_iteration % 100 == 0
+                or current_iteration == iterations
+            ):
+                print(
+                    f"Iteration {current_iteration}/{iterations} "
+                    f"loss {float(got['loss'][j]):.4f}"
+                )
+            if (
+                visualization_iteration
+                and current_iteration % visualization_iteration == 0
+            ):
+                vis_batch = (
+                    batch if batch is not None
+                    else jnp.asarray(dataset[0])[None]
+                )
+                _log_visualizations(
+                    writer, trainer, state, vis_batch, key,
+                    current_iteration,
+                )
+            if (
+                checkpoint_iteration
+                and current_iteration % checkpoint_iteration == 0
+            ):
+                ckpt.save_checkpoint(
+                    os.path.join(model_dir, f"{current_iteration}.ckpt"),
+                    state,
+                    current_iteration,
+                    run_name,
+                )
+            if current_iteration >= iterations:
+                break
 
     print(f"Training took {time.time() - start:.1f}s")
     model_path, config_path = ckpt.save_model_and_config(

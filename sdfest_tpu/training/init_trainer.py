@@ -161,6 +161,149 @@ class InitTrainer:
 
         return chained
 
+    # -- replay-buffer training ------------------------------------------
+    #
+    # The generated stream is RENDER-bound (~450 samples/s on v5e-1: every
+    # sample pays a decode + sphere-trace), while the PointNet train step
+    # is a few ms — so fresh-stream training caps at ~30 it/s at batch 16
+    # and the hard heads (orientation CE over 576 SO(3) cells, latent MSE)
+    # starve: the reference simply buys 16M fresh samples
+    # (/root/reference/sdfest/initialization/configs/discretized.yaml:
+    # 500k iterations x batch 32).  The TPU-first alternative: keep a
+    # device-resident ring buffer of generated samples and take T training
+    # steps (at a LARGER batch) per generation step, all inside one
+    # chained program.  Generation keeps feeding the ring at the render
+    # rate; training consumes random replays at the matmul rate.  Sample
+    # reuse across epochs is benign (each sample is seen ~T x train_batch
+    # / gen_batch times, spread over the run) and the buffer refreshes
+    # continuously, so late training never sees a stale distribution.
+
+    def init_replay_buffer(self, capacity: int, num_points: int,
+                           latent_size: int) -> Dict[str, Any]:
+        """Allocate the device-resident sample ring.
+
+        Pointsets are stored bf16 (the mug spans ~0.1 m, so bf16's ~0.4%
+        relative grid is ~0.4 mm — below the sensor/augmentation noise the
+        stream already carries); labels stay f32/int32.  A 131k-sample
+        ring at 2500 points is ~2 GB — comfortable HBM residency.
+        """
+        if self.orientation_repr == "discretized":
+            orientation = jnp.zeros((capacity,), jnp.int32)
+        else:
+            orientation = jnp.zeros((capacity, 4), jnp.float32)
+        return {
+            "pointset": jnp.zeros((capacity, num_points, 3), jnp.bfloat16),
+            "latent_shape": jnp.zeros((capacity, latent_size), jnp.float32),
+            "position": jnp.zeros((capacity, 3), jnp.float32),
+            "scale": jnp.zeros((capacity,), jnp.float32),
+            "orientation": orientation,
+            "cursor": jnp.zeros((), jnp.int32),
+            "filled": jnp.zeros((), jnp.int32),
+        }
+
+    def make_replay_chained_step(
+        self,
+        dataset,
+        gen_batch: int,
+        train_batch: int,
+        t_train: int,
+        k: int,
+    ):
+        """K units of [1 generation step + ``t_train`` replay train steps]
+        as ONE compiled program.
+
+        Each unit renders ``gen_batch`` fresh samples into the ring at the
+        cursor, then takes ``t_train`` optimizer steps on ``train_batch``
+        uniform draws from the filled region.  Returns
+        ``fn(state, buffer, key) -> ((state, buffer), stacked_metrics)``
+        with metrics stacked over the k * t_train training steps.
+        ``capacity`` must be a multiple of ``gen_batch`` (keeps the ring
+        write a single dynamic_update_slice, no wrap split).
+        """
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def chained(state, buffer, key):
+            capacity = buffer["pointset"].shape[0]
+            if capacity % gen_batch:
+                raise ValueError(
+                    f"replay capacity {capacity} must be a multiple of "
+                    f"gen_batch {gen_batch}"
+                )
+
+            def unit(carry, subkey):
+                st, buf = carry
+                kgen, ktrain = jax.random.split(subkey)
+                fresh = dataset.sample_batch(kgen, gen_batch)
+                cur = buf["cursor"]
+                write = lambda store, rows: jax.lax.dynamic_update_slice(
+                    store,
+                    jnp.asarray(rows, store.dtype),
+                    (cur,)
+                    + (jnp.zeros((), cur.dtype),) * (store.ndim - 1),
+                )
+                buf = dict(
+                    buf,
+                    pointset=write(buf["pointset"], fresh["pointset"]),
+                    latent_shape=write(
+                        buf["latent_shape"], fresh["latent_shape"]
+                    ),
+                    position=write(buf["position"], fresh["position"]),
+                    scale=write(buf["scale"], fresh["scale"]),
+                    orientation=write(
+                        buf["orientation"], fresh["orientation"]
+                    ),
+                    cursor=(cur + gen_batch) % capacity,
+                    filled=jnp.minimum(
+                        buf["filled"] + gen_batch, capacity
+                    ),
+                )
+
+                def train_once(st_, subkey_):
+                    # buffer rows are loop-invariant across the t_train
+                    # inner steps (writes happen once per unit, above)
+                    idx = jax.random.randint(
+                        subkey_, (train_batch,), 0, buf["filled"]
+                    )
+                    # pointset rows via one-hot matmul, NOT a gather: XLA
+                    # gathers serialize on TPU (measured ~20-30 ms for
+                    # 64 x 2500 x 3 rows from the 131k ring — dominating
+                    # the whole train step), while the equivalent
+                    # (B, N) @ (N, P*3) one-hot product is exact row
+                    # selection on the MXU at ~1-2 ms.  Small label
+                    # fields stay plain gathers.
+                    capacity_ = buf["pointset"].shape[0]
+                    oh = jax.nn.one_hot(
+                        idx, capacity_, dtype=jnp.bfloat16
+                    )
+                    flat = buf["pointset"].reshape(capacity_, -1)
+                    pts = (oh @ flat).reshape(
+                        train_batch, flat.shape[1] // 3, 3
+                    )
+                    batch = {
+                        "pointset": jnp.asarray(pts, jnp.float32),
+                        "latent_shape": buf["latent_shape"][idx],
+                        "position": buf["position"][idx],
+                        "scale": buf["scale"][idx],
+                        "orientation": buf["orientation"][idx],
+                    }
+                    return self.step(st_, batch)
+
+                st, metrics = jax.lax.scan(
+                    train_once, st, jax.random.split(ktrain, t_train)
+                )
+                return (st, buf), metrics
+
+            (state, buffer), metrics = jax.lax.scan(
+                unit, (state, buffer), jax.random.split(key, k)
+            )
+            # flatten (k, t_train) -> (k * t_train,) step metrics
+            metrics = jax.tree_util.tree_map(
+                lambda m: m.reshape((-1,) + m.shape[2:]), metrics
+            )
+            return (state, buffer), metrics
+
+        return chained
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def predict(
         self, state: Dict[str, Any], pointsets: jax.Array
@@ -203,9 +346,21 @@ class InitTrainer:
         if self.orientation_repr == "quaternion":
             pred_q = orientation
         else:
+            # reference decode semantics (initialization/scripts/
+            # train.py:344-363): argmax cell -> grid.index_to_quat; the
+            # geodesic below then matches its `metric geodesic distance`
             pred_q = jnp.asarray(self.grid_quats)[
                 jnp.argmax(orientation, axis=-1)
             ]
+            if "orientation" in batch:
+                # held-out cross-entropy over the grid cells: the direct
+                # counterpart of the training loss (chance = ln n_cells),
+                # the cleanest signal that the discretized head learned
+                metrics["orientation_ce"] = jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        orientation, batch["orientation"]
+                    )
+                )
         metrics["geodesic_distance"] = jnp.mean(
             quaternion.geodesic_distance(pred_q, batch["quaternion"])
         )
@@ -221,8 +376,9 @@ class InitTrainer:
                 k: batch[k]
                 for k in (
                     "pointset", "latent_shape", "position", "scale",
-                    "quaternion",
+                    "quaternion", "orientation",
                 )
+                if k in batch
             },
         )
         return {k: float(v) for k, v in jax.device_get(device_metrics).items()}

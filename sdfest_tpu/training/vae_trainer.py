@@ -213,3 +213,33 @@ class VAETrainer:
     ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
         """Jitted single-device :meth:`step`."""
         return self.step(state, batch_sdf, key)
+
+    def make_chained_step(self, data: jax.Array, batch_size: int, k: int):
+        """K train steps on a DEVICE-RESIDENT SDF dataset as ONE program.
+
+        The per-step host->device batch upload plus dispatch costs
+        ~300 ms through a hosted-TPU tunnel against an ~11 ms device step
+        (measured: the round-4 25k-iteration run sustained 3.4 it/s,
+        294 ms/step wall).  A procedural-category training set is small
+        (1000 x 64^3 f32 = 1 GB), so the whole dataset rides HBM and K
+        steps chain inside one jit: batches are uniform random draws
+        (with replacement) from the resident array — statistically
+        equivalent to the reference's shuffled epochs at these reuse
+        counts — and the dispatch cost amortizes to ~1/K.
+
+        ``data``: (N, 1, D, D, D) device array.  Returns
+        ``fn(state, key) -> (state, stacked_metrics)`` with metrics
+        stacked along a leading (k,) axis, oldest first.
+        """
+        n = data.shape[0]
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chained(state, key):
+            def body(st, subkey):
+                k_idx, k_step = jax.random.split(subkey)
+                idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+                return self.step(st, data[idx], k_step)
+
+            return jax.lax.scan(body, state, jax.random.split(key, k))
+
+        return chained

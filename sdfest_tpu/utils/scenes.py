@@ -130,3 +130,59 @@ def sample_mug_family(rng: np.random.Generator) -> dict:
     if overhang > max_x:
         params["handle_ring"] -= overhang - max_x
     return params
+
+
+def make_bowl_family_sdf(
+    res: int = 64,
+    *,
+    radius: float = 0.72,
+    wall: float = 0.08,
+    bottom: float = 0.10,
+    rim: float = 0.30,
+    squash: float = 1.0,
+) -> np.ndarray:
+    """Parameterized bowl-family SDF on a [-1, 1]^3 grid.
+
+    The second procedural category of the training demonstration (the
+    reference ships six trained ShapeNet categories, estimation/configs/
+    models/*.yaml; bowls are its canonical SYMMETRIC category — this
+    family is exactly rotation-symmetric about y, so it exercises the
+    symmetry-axis-aware metrics, reference estimation/metrics.py:9-75).
+
+    Spherical shell (outer radius ``radius``, cavity ``radius - wall``
+    lifted by ``bottom`` for base thickness) cut by the plane
+    ``y <= rim`` (CSG intersection = max; all three fields are distance
+    bounds, exact away from the cut seam).  ``squash`` scales y before
+    the shell evaluation: <1 flattens the bowl (y-extent shrinks), the
+    radial extent is untouched, and the field remains a distance bound
+    after multiplying by ``min(1, squash)``.
+    """
+    c = np.linspace(-1.0, 1.0, res)
+    x, y, z = np.meshgrid(c, c, c, indexing="ij")
+
+    ys = y / squash
+    outer = np.sqrt(x * x + ys * ys + z * z) - radius
+    yc = (y - bottom) / squash
+    cavity = np.sqrt(x * x + yc * yc + z * z) - (radius - wall)
+    shell = np.maximum(outer, -cavity)
+    bowl = np.maximum(shell, y - rim)
+    return (bowl * min(1.0, squash)).astype(np.float32)
+
+
+# sampling bounds of the procedural bowl family (shape stays inside the
+# grid: radius <= 0.8 < 1.0, rim cut keeps the open top)
+BOWL_FAMILY_BOUNDS = {
+    "radius": (0.58, 0.80),
+    "wall": (0.06, 0.12),
+    "bottom": (0.06, 0.16),
+    "rim": (0.10, 0.42),
+    "squash": (0.55, 1.0),
+}
+
+
+def sample_bowl_family(rng: np.random.Generator) -> dict:
+    """Uniform bowl-family parameters within :data:`BOWL_FAMILY_BOUNDS`."""
+    return {
+        k: float(rng.uniform(lo, hi))
+        for k, (lo, hi) in BOWL_FAMILY_BOUNDS.items()
+    }

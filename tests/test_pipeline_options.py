@@ -588,3 +588,67 @@ def test_multires_multi_view():
     assert bool(jnp.all(jnp.isfinite(position)))
     np.testing.assert_allclose(float(jnp.linalg.norm(orientation)), 1.0,
                                atol=1e-5)
+
+
+def test_fused_call_matches_legacy_multiphase(tmp_path):
+    """The fused single-dispatch path reproduces the legacy per-phase
+    path's trajectory on a multires+ROI schedule (same traced programs,
+    inlined into one; differences are XLA fusion-order rounding)."""
+    import pickle
+
+    logs = {}
+    results = {}
+    for fused in (False, True):
+        config = _config(
+            max_iterations=6, multires_factor=2, multires_iterations=3,
+            roi_size=[32, 32], roi_margin=4, fused_call=fused,
+        )
+        pipeline = SDFPipeline(config)
+        depth, mask = _scene(pipeline)
+        log_path = str(tmp_path / f"log_{fused}.pkl")
+        results[fused] = pipeline(depth, mask, log_path=log_path)
+        with open(log_path, "rb") as f:
+            logs[fused] = pickle.load(f)["log"]
+    np.testing.assert_allclose(
+        logs[True]["loss"], logs[False]["loss"], rtol=1e-4, atol=1e-6
+    )
+    assert logs[True]["multires_boundary"] == logs[False]["multires_boundary"]
+    for a, b in zip(results[True], results[False]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fused_call_raises_no_depth():
+    from sdfest_tpu.pipeline import NoDepthError
+
+    pipeline = SDFPipeline(_config(fused_call=True))
+    depth, mask = _scene(pipeline)
+    with pytest.raises(NoDepthError):
+        pipeline(depth, jnp.zeros_like(mask))
+
+
+def test_plan_for_matches_legacy_gating():
+    """_plan_for (spans-based) resolves the same ROI/levels the legacy
+    per-phase host gating does on the same observation."""
+    config = _config(
+        max_iterations=6, multires_factor=2, multires_iterations=3,
+        roi_size=[32, 32], roi_margin=4,
+    )
+    pipeline = SDFPipeline(config)
+    depth, mask = _scene(pipeline)
+    per_view_valid, spans = jax.device_get(
+        pipeline._probe(depth[None], mask[None])
+    )
+    assert bool(per_view_valid[0])
+    spans_list = [tuple(int(x) for x in s) for s in spans]
+    levels, fine_roi, fine_iters = pipeline._plan_for(spans_list)
+    assert fine_roi == pipeline._roi_for(depth[None])
+    assert fine_iters == 3
+    assert len(levels) == 1 and levels[0][0] == 2 and levels[0][1] == 3
+    # spans from the probe equal the host-side bbox
+    d = np.asarray(depth > 0)
+    ys, xs = np.nonzero(d)
+    assert spans_list[0] == (
+        ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
+    )

@@ -422,7 +422,11 @@ def _run_ours(scene, tmp_path):
         jnp.asarray(start[k])
         for k in ("latent", "position", "scale", "orientation")
     )
+    # pin the start state on BOTH call paths: the legacy path consults
+    # the _nn_init host wrapper, the fused single-dispatch path traces
+    # _nn_init_views directly (returning the extra validity scalar)
     pipeline._nn_init = lambda *a, **k: fixed
+    pipeline._nn_init_views = lambda *a, **k: fixed + (jnp.asarray(True),)
 
     log_path = str(tmp_path / "our_log.pkl")
     position, orientation, scale, latent = pipeline(

@@ -308,3 +308,179 @@ def test_train_vae_benchmark_steps(tmp_path, capsys):
     )
     assert benchmark(config, steps=2) > 0
     assert "train step:" in capsys.readouterr().out
+
+
+def test_generated_center_frac_restricts_positions(tmp_path):
+    """center_frac < 1 confines object centers to the frame middle."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdfest_tpu.datasets.generated import SDFVAEViewDataset
+    from sdfest_tpu.models.vae import create_vae_from_config
+    from sdfest_tpu.utils import weights as weight_utils
+
+    vae_cfg = tiny_vae_config()
+    vae = create_vae_from_config(vae_cfg)
+    params = weight_utils.load_vae_params(vae_cfg, vae, vae_cfg["sdf_size"])
+    cfg = {
+        "width": 32, "height": 24, "fov_deg": 90,
+        "z_min": 0.5, "z_max": 0.5001,
+        "extent_mean": 0.2, "extent_std": 0.0,
+        "pointcloud": False, "normalize_pose": False,
+        "render_threshold": 0.01, "center_frac": 0.01,
+    }
+    ds = SDFVAEViewDataset(cfg, vae, params)
+    batch = ds.sample_batch(jax.random.PRNGKey(0), 8)
+    # x = x_pix / fx * z with |x_pix| <= 0.01 * W/2 = 0.16 px
+    assert float(jnp.max(jnp.abs(batch["position"][:, 0]))) < 0.16 / 16 * 0.51
+    assert float(jnp.max(jnp.abs(batch["position"][:, 1]))) < 0.16 / 16 * 0.51
+    # default (1.0) spreads centers over the full frame
+    ds_full = SDFVAEViewDataset({**cfg, "center_frac": 1.0}, vae, params)
+    full = ds_full.sample_batch(jax.random.PRNGKey(0), 8)
+    assert float(jnp.max(jnp.abs(full["position"][:, 0]))) > 0.05
+
+
+def test_validation_reports_orientation_ce(tmp_path, capsys):
+    """Held-out metrics include cross-entropy for the discretized head."""
+    import jax
+    import numpy as np
+
+    from sdfest_tpu.training.init_trainer import InitTrainer
+
+    cfg = _init_config(tmp_path, {})["init"]
+    trainer = InitTrainer(cfg, latent_size=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), num_points=64)
+    n_cells = len(trainer.grid_quats)
+    batch = {
+        "pointset": np.zeros((2, 64, 3), np.float32),
+        "latent_shape": np.zeros((2, 4), np.float32),
+        "position": np.zeros((2, 3), np.float32),
+        "scale": np.zeros((2,), np.float32),
+        "quaternion": np.tile(np.array([0, 0, 0, 1], np.float32), (2, 1)),
+        "orientation": np.zeros((2,), np.int32),
+    }
+    metrics = trainer.compute_metrics(state, batch)
+    assert "orientation_ce" in metrics
+    # an untrained head should sit near chance = ln(n_cells)
+    assert abs(metrics["orientation_ce"] - np.log(n_cells)) < 2.0
+
+
+def test_trim_scalar_csv(tmp_path):
+    """Resume drops scalar rows past the checkpoint it restarts from."""
+    from sdfest_tpu.scripts.train_init import _trim_scalar_csv
+
+    path = tmp_path / "scalars.csv"
+    path.write_text(
+        "step,name,value\n10,loss,1.0\n20,loss,0.9\n30,loss,0.8\n"
+    )
+    _trim_scalar_csv(str(path), 20)
+    assert path.read_text() == "step,name,value\n10,loss,1.0\n20,loss,0.9\n"
+    # missing file is a no-op
+    _trim_scalar_csv(str(tmp_path / "absent.csv"), 20)
+
+
+def test_train_init_replay_buffer_smoke(tmp_path):
+    """Replay-buffer training: ring writes + replay draws + train steps."""
+    from sdfest_tpu.scripts.train_init import Trainer
+
+    datasets = {
+        "generated_dataset": {
+            "type": "SDFVAEViewDataset",
+            "probability": 1.0,
+            "config_dict": {
+                "width": 32,
+                "height": 24,
+                "fov_deg": 90,
+                "z_min": 0.2,
+                "z_max": 0.8,
+                "extent_mean": 0.2,
+                "extent_std": 0.01,
+                "pointcloud": True,
+                "normalize_pose": True,
+                "render_threshold": 0.01,
+                "orientation_repr": "discretized",
+                "orientation_grid_resolution": 0,
+            },
+        }
+    }
+    config = _init_config(tmp_path, datasets)
+    config["init"].update(
+        iterations=8,
+        steps_per_dispatch=2,
+        replay_buffer_size=8,  # multiple of batch_size 2
+        replay_train_steps=2,
+        replay_train_batch=4,
+        checkpoint_iteration=0,
+    )
+    result = Trainer(config).run()
+    assert os.path.isfile(result["model"])
+
+
+def test_replay_chained_step_mechanics(tmp_path):
+    """Ring cursor/filled advance; metrics stack over k * t_train steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdfest_tpu.datasets.generated import SDFVAEViewDataset
+    from sdfest_tpu.models.vae import create_vae_from_config
+    from sdfest_tpu.training.init_trainer import InitTrainer
+    from sdfest_tpu.utils import weights as weight_utils
+
+    vae_cfg = tiny_vae_config()
+    vae = create_vae_from_config(vae_cfg)
+    params = weight_utils.load_vae_params(vae_cfg, vae, vae_cfg["sdf_size"])
+    ds = SDFVAEViewDataset(
+        {
+            "width": 32, "height": 24, "fov_deg": 90,
+            "z_min": 0.2, "z_max": 0.8,
+            "extent_mean": 0.2, "extent_std": 0.01,
+            "pointcloud": True, "normalize_pose": True,
+            "render_threshold": 0.01, "num_points": 64,
+            "orientation_repr": "discretized",
+            "orientation_grid_resolution": 0,
+        },
+        vae, params,
+    )
+    init_cfg = _init_config(tmp_path, {})["init"]
+    trainer = InitTrainer(init_cfg, latent_size=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), num_points=64)
+    buffer = trainer.init_replay_buffer(8, 64, 4)
+    step = trainer.make_replay_chained_step(
+        ds, gen_batch=2, train_batch=4, t_train=3, k=2
+    )
+    (state, buffer), metrics = step(state, buffer, jax.random.PRNGKey(1))
+    assert metrics["loss"].shape == (6,)  # k=2 units x t_train=3
+    assert bool(jnp.all(jnp.isfinite(metrics["loss"])))
+    assert int(buffer["filled"]) == 4  # 2 units x gen_batch 2
+    assert int(buffer["cursor"]) == 4
+    # ring wraps at capacity
+    for _ in range(2):
+        (state, buffer), _ = step(state, buffer, jax.random.PRNGKey(2))
+    assert int(buffer["filled"]) == 8
+    assert int(buffer["cursor"]) == 4  # 12 mod 8
+
+
+def test_train_vae_chained_device_dataset(tmp_path):
+    """steps_per_dispatch trains from the device-resident dataset."""
+    import numpy as np
+
+    from sdfest_tpu.scripts.train_vae import train
+
+    data_dir = tmp_path / "sdfs"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        np.save(data_dir / f"{i:05}.npy",
+                rng.normal(size=(16, 16, 16)).astype(np.float32))
+    config = tiny_vae_config()
+    config.update(
+        batch_size=2, iterations=4, steps_per_dispatch=2,
+        learning_rate=1e-3, dataset_path=str(data_dir),
+        l2_small_weight=10.0, l2_large_weight=1.0, kld_weight=1.0,
+        pc_weight=0.0, model_dir=str(tmp_path / "models"),
+        checkpoint_iteration=0, visualization_iteration=0,
+        run_name="test_vae_chained",
+    )
+    result = train(config)
+    assert os.path.isfile(result["model"])
+    assert int(result["state"]["iteration"]) == 4
