@@ -1205,25 +1205,35 @@ class SDFPipeline:
             # schedule has (the legacy path below pays one per phase,
             # which dominates the per-object wall on high-latency links).
             self._validate_init_options(prior_orientation_distribution)
-            per_view_valid, spans_dev = self._probe(
-                jnp.asarray(depth_images, dtype=jnp.float32),
-                jnp.asarray(masks),
-            )
-            per_view_valid, spans_np = jax.device_get(
-                (per_view_valid, spans_dev)
-            )  # the call's ONE blocking host sync
-            init_view = self.config.get("init_view", "first")
-            ok = (
-                bool(per_view_valid[0]) if init_view == "first"
-                else bool(per_view_valid.all())
-            )
-            if not ok:
-                raise NoDepthError
-            spans = [
-                (int(sy), int(sx))
-                for (sy, sx), v in zip(spans_np, per_view_valid) if v
-            ]
-            plan = self._plan_for(spans)
+            # reuse_plan: true drops the pre-flight too on tracked
+            # sequences (frame-to-frame the plan is stable), reaching ONE
+            # dispatch per call.  Documented trade: without the probe an
+            # all-empty observation cannot raise NoDepthError up front —
+            # the caller owns mask validity (e.g. a detector/tracker).
+            plan = None
+            if bool(self.config.get("reuse_plan", False)):
+                plan = getattr(self, "_cached_plan", None)
+            if plan is None:
+                per_view_valid, spans_dev = self._probe(
+                    jnp.asarray(depth_images, dtype=jnp.float32),
+                    jnp.asarray(masks),
+                )
+                per_view_valid, spans_np = jax.device_get(
+                    (per_view_valid, spans_dev)
+                )  # the call's ONE blocking host sync
+                init_view = self.config.get("init_view", "first")
+                ok = (
+                    bool(per_view_valid[0]) if init_view == "first"
+                    else bool(per_view_valid.all())
+                )
+                if not ok:
+                    raise NoDepthError
+                spans = [
+                    (int(sy), int(sx))
+                    for (sy, sx), v in zip(spans_np, per_view_valid) if v
+                ]
+                plan = self._plan_for(spans)
+                self._cached_plan = plan
             state, best, log, depth_images = self._fused_program(
                 jnp.asarray(depth_images, dtype=jnp.float32),
                 jnp.asarray(masks),

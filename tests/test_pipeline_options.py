@@ -652,3 +652,21 @@ def test_plan_for_matches_legacy_gating():
     assert spans_list[0] == (
         ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
     )
+
+
+def test_reuse_plan_single_dispatch(tmp_path):
+    """reuse_plan: the second call skips the probe (cached static plan)
+    and produces the same estimate."""
+    config = _config(
+        max_iterations=6, multires_factor=2, multires_iterations=3,
+        roi_size=[32, 32], roi_margin=4, reuse_plan=True,
+    )
+    pipeline = SDFPipeline(config)
+    depth, mask = _scene(pipeline)
+    first = pipeline(depth, mask)
+    assert getattr(pipeline, "_cached_plan", None) is not None
+    # probe must not run again: poison it
+    pipeline._probe = None
+    second = pipeline(depth, mask)
+    for a, b in zip(first, second):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
