@@ -246,3 +246,27 @@ def test_make_procedural_dataset_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.load(out + "/00002.npy"), np.load(out2 + "/00002.npy")
     )
+
+
+def test_bowl_family_generator(tmp_path):
+    """Bowl family: open symmetric vessels inside the grid; dataset CLI."""
+    import numpy as np
+
+    from sdfest_tpu.scripts.make_procedural_dataset import generate
+    from sdfest_tpu.utils.scenes import make_bowl_family_sdf
+
+    # rotation symmetry about y (the property the symmetric-category
+    # metrics rely on): 90-degree grid rotation leaves the SDF unchanged
+    s = make_bowl_family_sdf(48)
+    np.testing.assert_allclose(s, np.rot90(s, k=1, axes=(0, 2)), atol=1e-6)
+    # open top: the rim cut leaves no solid above the rim plane
+    assert (s < 0).any() and 0.005 < (s < 0).mean() < 0.3
+
+    params = generate(str(tmp_path / "bowls"), n=3, res=24, seed=1,
+                      category="bowl")
+    assert len(params) == 3
+    import json
+    meta = json.load(open(tmp_path / "bowls" / "params.json"))
+    assert meta["category"] == "bowl"
+    grids = sorted((tmp_path / "bowls").glob("*.npy"))
+    assert len(grids) == 3
