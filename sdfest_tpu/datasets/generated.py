@@ -350,6 +350,20 @@ class SDFVAEViewDataset:
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def sample_batch(self, key: jax.Array, batch_size: int) -> Dict[str, jax.Array]:
-        """Generate a batch of samples as one fused XLA program."""
+        """Generate a batch of samples as one fused XLA program.
+
+        Config ``batch_map: sequential`` lowers the batch axis with
+        ``lax.map`` (one single-sample program body + a loop) instead of
+        ``vmap``: at product raster sizes the vmapped gather-heavy
+        subsample made the batch-16 640x480 program's XLA:TPU compile
+        exceed 25 minutes through the hosted tunnel (round-4
+        docs/training_demo.md §3), while the sequential body compiles
+        like the proven single-sample program.  Generation is
+        render-bound per SAMPLE, so sequencing costs ~nothing at these
+        batch sizes; the default stays ``vmap`` (fastest at small
+        rasters).
+        """
         keys = jax.random.split(key, batch_size)
+        if self.config.get("batch_map") == "sequential":
+            return jax.lax.map(self._sample_one, keys)
         return jax.vmap(self._sample_one)(keys)

@@ -484,3 +484,35 @@ def test_train_vae_chained_device_dataset(tmp_path):
     result = train(config)
     assert os.path.isfile(result["model"])
     assert int(result["state"]["iteration"]) == 4
+
+
+def test_generated_sequential_batch_map_matches_vmap(tmp_path):
+    """batch_map: sequential produces the same samples as the vmap path."""
+    import jax
+    import numpy as np
+
+    from sdfest_tpu.datasets.generated import SDFVAEViewDataset
+    from sdfest_tpu.models.vae import create_vae_from_config
+    from sdfest_tpu.utils import weights as weight_utils
+
+    vae_cfg = tiny_vae_config()
+    vae = create_vae_from_config(vae_cfg)
+    params = weight_utils.load_vae_params(vae_cfg, vae, vae_cfg["sdf_size"])
+    base = {
+        "width": 32, "height": 24, "fov_deg": 90,
+        "z_min": 0.2, "z_max": 0.8,
+        "extent_mean": 0.2, "extent_std": 0.01,
+        "pointcloud": True, "normalize_pose": True,
+        "render_threshold": 0.01, "num_points": 64,
+    }
+    a = SDFVAEViewDataset(base, vae, params).sample_batch(
+        jax.random.PRNGKey(0), 3
+    )
+    b = SDFVAEViewDataset(
+        {**base, "batch_map": "sequential"}, vae, params
+    ).sample_batch(jax.random.PRNGKey(0), 3)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
