@@ -100,7 +100,7 @@ def train(config: dict) -> dict:
     while current_iteration < iterations:
         if chained is not None:
             key, subkey = jax.random.split(key)
-            state, stacked = chained(state, subkey)
+            state, stacked = chained(state, data_dev, subkey)
             got = jax.device_get(stacked)
             chunk = len(got["loss"])
             batch = None

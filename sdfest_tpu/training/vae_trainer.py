@@ -227,18 +227,23 @@ class VAETrainer:
         equivalent to the reference's shuffled epochs at these reuse
         counts — and the dispatch cost amortizes to ~1/K.
 
-        ``data``: (N, 1, D, D, D) device array.  Returns
-        ``fn(state, key) -> (state, stacked_metrics)`` with metrics
-        stacked along a leading (k,) axis, oldest first.
+        ``data``: (N, 1, D, D, D) device array, passed back INTO the
+        returned function as an argument — NOT closed over: a
+        closure-captured concrete array is inlined into the program as a
+        constant, and on a hosted TPU the 1 GB dataset then ships inside
+        the remote-compile request (observed: HTTP 413 from the compile
+        endpoint).  As an argument it stays a device buffer reference.
+        Returns ``fn(state, data, key) -> (state, stacked_metrics)``
+        with metrics stacked along a leading (k,) axis, oldest first.
         """
         n = data.shape[0]
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def chained(state, key):
+        def chained(state, data_arg, key):
             def body(st, subkey):
                 k_idx, k_step = jax.random.split(subkey)
                 idx = jax.random.randint(k_idx, (batch_size,), 0, n)
-                return self.step(st, data[idx], k_step)
+                return self.step(st, data_arg[idx], k_step)
 
             return jax.lax.scan(body, state, jax.random.split(key, k))
 
