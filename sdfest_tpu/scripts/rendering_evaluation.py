@@ -248,6 +248,35 @@ class Evaluator:
             metric_dict[metric_name] = float(
                 fn(gt_pts, out_pts, **m.get("kwargs", {}))
             )
+        if config.get("pose_metrics"):
+            # pose-space metrics against the known synthetic ground truth
+            # (mesh at the world origin in its canonical frame).  With
+            # ``rotational_symmetry_axis`` set, the orientation error is
+            # additionally reported modulo the symmetry (the NOCS
+            # convention for bowl/bottle/can — reference
+            # estimation/metrics.py:9-75), which is the only meaningful
+            # orientation number for a symmetric category.
+            from scipy.spatial.transform import Rotation
+
+            from sdfest_tpu.pipeline import metrics as pose_metrics
+
+            gt_rot = Rotation.from_quat(
+                np.asarray(gt_mesh.orientation, dtype=np.float64)
+            )
+            pred_rot = Rotation.from_quat(
+                np.asarray(orientation[0], dtype=np.float64)
+            )
+            metric_dict["position_error"] = float(
+                np.linalg.norm(np.asarray(position[0]))
+            )
+            metric_dict["orientation_deg"] = pose_metrics.degree_error(
+                gt_rot, pred_rot
+            )
+            axis = config.get("rotational_symmetry_axis")
+            if axis is not None:
+                metric_dict["orientation_deg_sym"] = (
+                    pose_metrics.degree_error(gt_rot, pred_rot, axis)
+                )
         return metric_dict
 
 

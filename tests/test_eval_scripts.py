@@ -535,3 +535,28 @@ def test_category_evaluation_packaged_config_resolution(monkeypatch, tmp_path):
     assert built["max_iterations"] == 30
     assert built["camera"]["width"] == 640
     assert ev._pipeline_for("unknown") is None
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference fixture unavailable")
+def test_rendering_evaluation_pose_metrics(tmp_path):
+    """pose_metrics adds position/orientation errors (incl. the
+    symmetry-axis variant) against the synthetic ground truth."""
+    from sdfest_tpu.scripts.rendering_evaluation import Evaluator
+
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    v, f = _cube_mesh()
+    save_obj(str(mesh_dir / "cube.obj"), v, f)
+
+    config = _eval_config(tmp_path, mesh_dir)
+    config["pose_metrics"] = True
+    config["rotational_symmetry_axis"] = 1
+    results = Evaluator(config).run()
+    for name in ("position_error", "orientation_deg", "orientation_deg_sym"):
+        assert name in results[1]
+        assert np.isfinite(results[1][name]["mean"])
+    # the symmetry-folded error can never exceed the full one
+    assert (
+        results[1]["orientation_deg_sym"]["mean"]
+        <= results[1]["orientation_deg"]["mean"] + 1e-9
+    )
