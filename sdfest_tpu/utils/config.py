@@ -149,9 +149,20 @@ def _set_dotted(d: dict, dotted_key: str, value) -> None:
 
 def _parse_value(value: str):
     try:
-        return yaml.safe_load(value)
+        parsed = yaml.safe_load(value)
     except yaml.YAMLError:
         return value
+    if isinstance(parsed, str):
+        # YAML 1.1 floats need a dot before the exponent ("1.0e-4");
+        # the common CLI spelling "1e-4" loads as a STRING and then
+        # poisons numeric config keys downstream (observed: optax got
+        # learning_rate="1e-4" and crashed mid-run).  Accept scientific
+        # notation numerically.
+        try:
+            return float(parsed)
+        except ValueError:
+            return parsed
+    return parsed
 
 
 def load_config_from_args(

@@ -145,3 +145,15 @@ def test_trainer_accepts_reference_style_flat_config(tmp_path):
     assert gen["category_str"] == "mug"
     result = trainer.run()
     assert os.path.isfile(result["model"])
+
+
+def test_cli_scientific_notation_parses_as_float():
+    """"1e-4" (bare exponent, a YAML-1.1 string) must become a float."""
+    from sdfest_tpu.utils.config import _parse_value
+
+    assert _parse_value("1e-4") == 1e-4
+    assert isinstance(_parse_value("1e-4"), float)
+    assert _parse_value("1.0e-4") == 1e-4
+    assert _parse_value("5") == 5
+    assert _parse_value("hello") == "hello"
+    assert _parse_value("[1, 2]") == [1, 2]
