@@ -20,6 +20,7 @@ import copy
 import glob
 import math
 import os
+import time
 from collections import defaultdict
 from datetime import datetime
 from pydoc import locate
@@ -86,6 +87,7 @@ class Evaluator:
             for name, ablation_config in self.base_config[
                 "ablation_configs"
             ].items():
+                print(f"[ablation] {name}", flush=True)
                 config = load_config(
                     ablation_config, copy.deepcopy(self.base_config)
                 )
@@ -116,9 +118,17 @@ class Evaluator:
         if files is None:
             files = sorted(glob_exts(config["data_path"], [".obj", ".off"]))
         for views in config["num_views"]:
-            results_dict[views] = [
-                self._evaluate_file(path, views, config) for path in files
-            ]
+            per_file = []
+            for i, path in enumerate(files):
+                t0 = time.monotonic()
+                per_file.append(self._evaluate_file(path, views, config))
+                print(
+                    f"  views={views} file {i + 1}/{len(files)} "
+                    f"({os.path.basename(path)}) "
+                    f"{time.monotonic() - t0:.1f}s",
+                    flush=True,
+                )
+            results_dict[views] = per_file
         return results_dict
 
     def _save_and_print_results(self, results_dict: Dict) -> None:
